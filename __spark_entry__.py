@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction pipeline (synthesized
+interleaved docs → extract → link → thin→thick → dedup) and returns
+the statement table. ``queries``/``oracle_sql`` expose the operator
+suite of SURVEY.md §2 with DuckDB oracles (see ldtab_clj_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    from ldtab_clj_spark.session import _package_zip
+    spark.sparkContext.addPyFile(_package_zip())
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline at smoke scale (sf0.001-equivalent).
+
+    Uses the deterministic synthetic interleaved docs table
+    (BASELINE.json input_hint shape) — /root/testdata has no span
+    table; documents.parquet there feeds the queries() suite instead.
+    """
+    _ship_package(spark)
+    from ldtab_clj_spark.plans.pipeline import run_pipeline
+    return run_pipeline(spark, n_docs=500, seed=42)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ldtab_clj_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, fn in q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ldtab_clj_spark import queries as q
+    return dict(q.ORACLE_SQL)

@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {name: sec},
+"sf": ...}.
+
+The flagship measurement is the full KG-construction pipeline
+(synth docs → extract → link → thin→thick → dedup → count) — its
+triples/sec is reported alongside (BASELINE.json metric). Scaling
+evidence (N vs 4N cores) comes from tools/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+# docs scale tied to sf: sf0.1 → 20k docs (~500k thin triples)
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR \
+    else 0.1
+N_DOCS = max(int(200_000 * _SF), 500)
+
+HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q5", "a1_group_collect",
+            "w4_rank_window", "so4_symmetric_diff", "dedup_exact",
+            "dedup_minhash_lsh", "text_quality", "text_fingerprint",
+            "ann_cosine_topk", "kg_mention_extract", "diff_transactions"]
+
+
+def main() -> None:
+    from ldtab_clj_spark import queries as q
+    from ldtab_clj_spark.plans.pipeline import run_pipeline
+    from ldtab_clj_spark.session import get_spark
+
+    spark = get_spark("ldtab-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 16),
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    timings: dict[str, float] = {}
+
+    # flagship: KG pipeline; throughput = statement rows / sec
+    t0 = time.perf_counter()
+    n_rows = run_pipeline(spark, n_docs=N_DOCS, seed=42).count()
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF,
+        "kg_docs": N_DOCS,
+        "kg_statements": int(n_rows),
+        "kg_triples_per_sec": round(n_rows / kg_sec, 1),
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

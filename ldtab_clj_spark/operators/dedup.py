@@ -1,0 +1,125 @@
+"""Deduplication operators over a documents table — the training-data
+pipeline ops that complement the KG engine at 100 TB scale.
+
+All hashing is md5-based so every operator has an exact cross-engine
+SQL oracle (DuckDB) — no engine-specific hash functions in results.
+
+Scale notes:
+* exact dedup: one hash-aggregate, map-side combinable — the cheapest
+  possible shuffle; at 100 TB, group on ``md5(text)`` not ``text`` so
+  shuffle keys are 32 bytes.
+* MinHash+LSH: signatures are per-row (narrow), candidate generation
+  shuffles on band keys only — the O(N²) all-pairs join never happens.
+  This is the scale path; ``word_jaccard_pairs`` (exact) is the
+  verifier/baseline and is quadratic in documents per shared word.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash: (h, keep_id, dupes)."""
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("h"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("dupes")))
+
+
+def doc_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, word) — the shingle relation used by the
+    similarity family."""
+    return (docs.select("doc_id",
+                        F.explode(F.split(F.trim(F.col(text_col)),
+                                          r"\s+")).alias("word"))
+            .filter(F.col("word") != "")
+            .distinct())
+
+
+def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
+                       text_col: str = "text") -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs (doc_a < doc_b, jaccard).
+
+    Candidate pairs via a self-join on shared words (SURVEY.md-style
+    semi-join candidate generation); exact at test scale, superseded by
+    MinHash LSH at 100 TB.
+    """
+    words = doc_words(docs, text_col).cache()
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (a.join(b, "word")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    return (inter.join(na, "doc_a").join(nb, "doc_b")
+            .withColumn("jaccard",
+                        F.col("inter")
+                        / (F.col("na") + F.col("nb") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+N_MINHASH = 8
+BAND_SIZE = 2
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, shingle) word-bigram shingles — all JVM-side
+    array ops (split → zip_with of adjacent slices), no Python."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    return (docs.select("doc_id", F.explode(bigrams).alias("shingle"))
+            .filter(F.col("shingle").isNotNull())
+            .distinct())
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       n_hashes: int = N_MINHASH) -> DataFrame:
+    """Per-doc MinHash signature over bigram shingles:
+    sig_i = min(md5(i || ':' || shingle)).
+
+    A string-min MinHash — identical semantics to integer MinHash (any
+    total order on a good hash works) and exactly reproducible in ANSI
+    SQL for the oracle.
+    """
+    shingles = doc_shingles(docs, text_col)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+            .alias(f"sig{i}") for i in range(n_hashes)]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      n_hashes: int = N_MINHASH,
+                      band_size: int = BAND_SIZE) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band
+    (band = concat of ``band_size`` adjacent signature slots).
+    Shuffles on band keys only — never all-pairs."""
+    sigs = minhash_signatures(docs, text_col, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = []
+    for bi in range(n_bands):
+        cols = [F.col(f"sig{bi * band_size + j}")
+                for j in range(band_size)]
+        bands.append(sigs.select(
+            "doc_id", F.lit(bi).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())

@@ -1,0 +1,66 @@
+"""Transaction diff / history (SURVEY.md R12, J7, SO4-SO5).
+
+Reference: /root/reference/src/ldtab/diff.clj — sorted symmetric diff
+of current state vs a new statement set; additions get the new
+transaction id, deletions become retraction rows; state-at-T replay.
+
+Spark realization: ``exceptAll`` both ways (Catalyst plans these as
+shuffle joins with map-side partial dedup) — no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CONTENT_COLS = ["graph", "subject", "predicate", "object", "datatype",
+                "annotation"]
+
+
+def current_state(statements: DataFrame,
+                  at_transaction: int | None = None) -> DataFrame:
+    """Replay to the live set (diff.clj:151-164): rows asserted at or
+    before T and not retracted at or before T (retraction=0 = never)."""
+    df = statements
+    if at_transaction is not None:
+        df = df.filter(F.col("assertion") <= at_transaction)
+        return df.filter((F.col("retraction") == 0)
+                         | (F.col("retraction") > at_transaction)) \
+                 .select(*CONTENT_COLS)
+    return df.filter(F.col("retraction") == 0).select(*CONTENT_COLS)
+
+
+def diff_statements(old: DataFrame, new: DataFrame,
+                    transaction_id: int) -> DataFrame:
+    """Symmetric diff → history rows (diff.clj:18-47,82-93):
+    additions carry assertion=T, retractions keep content with
+    retraction=T. Input: content-column DataFrames."""
+    added = (new.select(*CONTENT_COLS).exceptAll(old.select(*CONTENT_COLS))
+             .withColumn("assertion", F.lit(transaction_id).cast("long"))
+             .withColumn("retraction", F.lit(0).cast("long")))
+    retracted = (old.select(*CONTENT_COLS)
+                 .exceptAll(new.select(*CONTENT_COLS))
+                 .withColumn("assertion", F.lit(0).cast("long"))
+                 .withColumn("retraction",
+                             F.lit(transaction_id).cast("long")))
+    cols = ["assertion", "retraction", *CONTENT_COLS]
+    return added.select(*cols).unionByName(retracted.select(*cols))
+
+
+def apply_diff(statements: DataFrame, old: DataFrame, new: DataFrame,
+               transaction_id: int) -> DataFrame:
+    """Append-only history update (diff.clj:211-224): mark retracted
+    rows, append additions."""
+    d = diff_statements(old, new, transaction_id)
+    retracted_keys = d.filter(F.col("retraction") > 0).select(*CONTENT_COLS)
+    still_live = statements.join(retracted_keys, on=CONTENT_COLS,
+                                 how="left_anti")
+    marked = (statements.join(retracted_keys, on=CONTENT_COLS,
+                              how="left_semi")
+              .withColumn("retraction",
+                          F.lit(transaction_id).cast("long")))
+    additions = d.filter(F.col("assertion") == transaction_id)
+    cols = ["assertion", "retraction", *CONTENT_COLS]
+    return (still_live.select(*cols)
+            .unionByName(marked.select(*cols))
+            .unionByName(additions.select(*cols)))

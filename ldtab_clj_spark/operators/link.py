@@ -1,0 +1,80 @@
+"""Stage 2 — entity linking (SURVEY.md J8; north-star requirement, no
+reference analog).
+
+Resolves ``surface:<form>`` placeholders in the thin-triple subject and
+object columns against a candidate dictionary:
+
+* candidate *scoring*: argmax score per surface (``max_by``, one
+  map-side-combinable aggregation);
+* **head** surfaces (hot, Zipf-favored) resolve via a broadcast hash
+  join — zero shuffle for the skewed mass;
+* **tail** surfaces resolve via a salted shuffle join: the mention side
+  carries a deterministic salt, the dictionary side is exploded ×SALT,
+  so residual hot keys split across SALT reducers (plus AQE skew-join
+  as backstop).
+
+Single-pass plan shape: every resolution is a LEFT join on the whole
+DataFrame (null join keys for non-mentions simply don't match), never a
+filter/union split — the upstream extraction is consumed exactly once,
+which matters enormously when upstream is a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT = 16
+UNLINKED = "ex:UNLINKED"
+
+
+def score_candidates(entity_dict: DataFrame) -> DataFrame:
+    """Candidate table → one winning entity per surface (+head flag)."""
+    return entity_dict.groupBy("surface").agg(
+        F.max_by("entity", "score").alias("entity"),
+        F.max("is_head").alias("is_head"),
+    )
+
+
+def _resolve_column(df: DataFrame, col: str, head: DataFrame,
+                    tail: DataFrame, guard) -> DataFrame:
+    """Resolve surface placeholders in one column via two left joins
+    (broadcast head, salted tail); non-mention rows ride along with
+    null keys."""
+    is_mention = guard & F.col(col).startswith("surface:")
+    df = df.withColumn(
+        "_surf", F.when(is_mention, F.substring(F.col(col), 9, 100000)))
+
+    head_k = head.select(F.col("surface").alias("_surf"),
+                         F.col("entity").alias("_head_ent"))
+    df = df.join(F.broadcast(head_k), on="_surf", how="left")
+
+    # salt only rows still unresolved; null salt never matches
+    df = df.withColumn(
+        "_salt",
+        F.when(F.col("_surf").isNotNull() & F.col("_head_ent").isNull(),
+               F.pmod(F.xxhash64("doc_id", "span_order", col),
+                      F.lit(SALT)).cast("int")))
+    tail_k = (tail.select(F.col("surface").alias("_surf"),
+                          F.col("entity").alias("_tail_ent"))
+              .withColumn("_salt", F.explode(
+                  F.array(*[F.lit(i) for i in range(SALT)]))))
+    df = df.join(tail_k, on=["_surf", "_salt"], how="left")
+
+    resolved = F.when(F.col("_surf").isNull(), F.col(col)) \
+        .otherwise(F.coalesce("_head_ent", "_tail_ent", F.lit(UNLINKED)))
+    return (df.withColumn(col, resolved)
+            .drop("_surf", "_salt", "_head_ent", "_tail_ent"))
+
+
+def link_entities(thin: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """Resolve subject and object mention placeholders to entity IRIs."""
+    winners = score_candidates(entity_dict)
+    head = winners.filter("is_head").select("surface", "entity")
+    tail = winners.filter("NOT is_head").select("surface", "entity")
+    out = _resolve_column(thin, "subject", head, tail, F.lit(True))
+    # objects: only IRI-slot mentions (literal lexical forms that happen
+    # to look like surfaces must stay literal)
+    out = _resolve_column(out, "object", head, tail,
+                          F.col("datatype") == "_IRI")
+    return out

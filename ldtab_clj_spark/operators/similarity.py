@@ -1,0 +1,91 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — brute-force top-k: broadcast the (small) query set,
+  JVM-side ``zip_with``/``aggregate`` dot products (no Python), window
+  rank per query. The exact baseline.
+* ``lsh_cosine_topk`` — sign-random-projection (SimHash-style) bucketed
+  variant: candidates only from matching hyperplane-sign buckets; the
+  100 TB path (shuffle on short bucket keys instead of all-pairs).
+
+Doubles throughout (cast from float32 first) so the DuckDB oracle's
+arithmetic matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.withColumn("_v", v).withColumn(
+        "_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                vec_col: str = "embedding") -> DataFrame:
+    """For each query vector: top-k nearest corpus vectors by cosine.
+
+    Returns (query_id, neighbor_id, rnk). Ties broken by neighbor id;
+    the similarity itself stays internal (floats don't hash stably
+    across engines at the boundary, ranks do).
+    """
+    corpus = with_norm(embeddings, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"), "_v", "_norm")
+    qs = with_norm(queries, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_q"), F.col("_norm").alias("_qnorm"))
+    scored = (corpus.join(F.broadcast(qs),
+                          F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("sim", _dot(F.col("_v"), F.col("_q"))
+                          / (F.col("_norm") * F.col("_qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk"))
+
+
+def srp_bucket(df: DataFrame, planes: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Sign-random-projection bucket id: one bit per hyperplane."""
+    v = _as_double(F.col(vec_col))
+    bits = []
+    for p in planes:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(v, arr) >= 0, F.lit("1"))
+                    .otherwise(F.lit("0")))
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame,
+                    planes: list[list[float]], k: int = 5,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Bucketed ANN: rank only candidates sharing the query's SRP
+    bucket. Recall < 1 by design; at scale, multiple plane-sets (OR)
+    trade shuffle for recall."""
+    corpus = srp_bucket(with_norm(embeddings, vec_col), planes, vec_col) \
+        .select(F.col("vec_id").alias("neighbor_id"), "_v", "_norm",
+                "bucket")
+    qs = srp_bucket(with_norm(queries, vec_col), planes, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_q"), F.col("_norm").alias("_qnorm"), "bucket")
+    scored = (corpus.join(F.broadcast(qs), "bucket")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("sim", _dot(F.col("_v"), F.col("_q"))
+                          / (F.col("_norm") * F.col("_qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk"))

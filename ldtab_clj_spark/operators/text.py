@@ -1,0 +1,79 @@
+"""Text-analysis operators: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All expressed with built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python in the hot path — and each with an
+exact DuckDB SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# marker words per language for the n-gram-ish heuristic; the synthetic
+# corpus is English-dominant, so anything unmatched falls back to "en"
+LANG_MARKERS = {
+    "es": ("datos", "consulta", "fila"),
+    "zh": ("表", "行", "数据"),
+    "de": ("der", "und", "zeile"),
+}
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens) — whitespace tokenization."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"))
+
+
+def _count_occurrences(col, needle: str):
+    """Occurrences of a literal substring via the length-difference
+    trick — portable to ANSI SQL for the oracle."""
+    esc = needle.replace("\\", "\\\\")
+    return ((F.length(col)
+             - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+            / max(len(needle), 1)).cast("long")
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars2, punct_ratio, stopword_hits, quality) —
+    length/punctuation/stopword quality features."""
+    text = F.col(text_col)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _count_occurrences(text, f" {w} ")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("n_chars2"),
+        (punct / F.greatest(F.length(text), F.lit(1)))
+        .alias("punct_ratio"),
+        stop_hits.alias("stopword_hits"),
+        ((F.length(text) >= 50) & (stop_hits > 0)).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred) — marker-word language heuristic."""
+    text = F.col(text_col)
+    pred = F.lit("en")
+    # build reversed so earlier dict entries take precedence
+    for lang, markers in reversed(list(LANG_MARKERS.items())):
+        hit = None
+        for m in markers:
+            c = F.col(text_col).contains(m)
+            hit = c if hit is None else hit | c
+        pred = F.when(hit, F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — md5 of the whitespace-normalized, lowercased
+    text (the rolling-hash analog, portable across engines)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                            r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

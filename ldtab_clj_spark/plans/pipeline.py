@@ -1,0 +1,41 @@
+"""End-to-end KG-construction pipeline (the north-star dataflow):
+
+docs → extract (mapInPandas) → link (broadcast + salted join) →
+thin→thick (applyInPandas per doc) → dedup → materialize.
+
+Each stage is DataFrame→DataFrame; `run_pipeline` optionally
+checkpoints stage boundaries to parquet with lineage sidecars so any
+stage resumes idempotently (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extract import extract_thin_triples
+from ..operators.link import link_entities
+from ..operators.materialize import dedup_statements, write_statements
+from ..operators.stanza import thin_to_thick_df
+from ..synth import entity_dictionary, synth_docs
+
+
+def build_statements(docs: DataFrame,
+                     entity_dict: DataFrame) -> DataFrame:
+    """The lazy end-to-end plan (no action triggered)."""
+    thin = extract_thin_triples(docs)
+    linked = link_entities(thin, entity_dict)
+    thick = thin_to_thick_df(linked)
+    return dedup_statements(thick)
+
+
+def run_pipeline(spark: SparkSession, n_docs: int = 1000, seed: int = 42,
+                 out_path: str | None = None,
+                 partitions: int | None = None) -> DataFrame:
+    """Synthesize docs, run the full pipeline; write+lineage if
+    ``out_path`` given."""
+    docs = synth_docs(spark, n_docs, seed=seed, partitions=partitions)
+    statements = build_statements(docs, entity_dictionary(spark))
+    if out_path:
+        write_statements(statements, out_path, partitions=partitions)
+        return spark.read.parquet(out_path)
+    return statements

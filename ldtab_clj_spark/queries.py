@@ -1,0 +1,515 @@
+"""Driver-contract query suite: each entry exercises one operator
+family from SURVEY.md §2 as a (spark, sf_dir) → DataFrame callable,
+with an exactly-equivalent DuckDB oracle in ``ORACLE_SQL``.
+
+Cross-engine determinism rules used throughout:
+* money aggregates go through DECIMAL(18,2) then cast to double
+  (accumulation-order-proof);
+* int/int division is float division in both engines;
+* hashes are md5 (present in both);
+* ranks are emitted instead of raw float scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.dedup import (exact_dedup_groups, minhash_lsh_pairs,
+                              word_jaccard_pairs)
+from .operators.diff import diff_statements
+from .operators.similarity import cosine_topk
+from .operators.text import fingerprint, lang_id, quality_score, token_count
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    """Exact money arithmetic: 2-dp doubles → integer cents. round() of
+    a double that is never an exact .5 tie rounds identically in Spark
+    and DuckDB; all downstream sums are exact integers."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def _money_sum(col, alias):
+    return (F.sum(_cents(col)) / 100.0).alias(alias)
+
+
+def _revenue_sum(alias="revenue"):
+    """sum(extendedprice * (1 - discount)) in exact basis points."""
+    return (F.sum(_cents("l_extendedprice")
+                  * (100 - _cents("l_discount").cast("long")))
+            / 10000.0).alias(alias)
+
+
+# ---------------------------------------------------------------- scans
+
+def s3_scan_filter_project(spark, sf):
+    """S3/F1: filter + projection pushed into the parquet scan."""
+    return (load(spark, sf, "lineitem")
+            .filter(F.col("l_quantity") < 5)
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+# ----------------------------------------------------------- aggregations
+
+def a1_group_collect(spark, sf):
+    """A1/A3: per-subject bucketing (map-side combinable hash agg)."""
+    return (load(spark, sf, "lineitem").groupBy("l_orderkey")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum("l_quantity").alias("sum_qty")))
+
+
+def a4_max_transaction(spark, sf):
+    return load(spark, sf, "events").agg(
+        F.max("event_id").alias("max_assertion"))
+
+
+def a5_distinct_sorted(spark, sf):
+    return (load(spark, sf, "events").select("event_type").distinct()
+            .orderBy("event_type"))
+
+
+def a8_get_type(spark, sf):
+    """A8: 1 type → that type, else 'ambiguous' (thin2thick.clj:65-72)."""
+    g = (load(spark, sf, "events").groupBy("user_id")
+         .agg(F.countDistinct("event_type").alias("n"),
+              F.min("event_type").alias("t")))
+    return g.select("user_id",
+                    F.when(F.col("n") == 1, F.col("t"))
+                    .otherwise(F.lit("ambiguous")).alias("rdf_type"))
+
+
+# ----------------------------------------------------------------- joins
+
+def j3_semi_join(spark, sf):
+    """J3: annotation↔statement semi-join shape."""
+    c = load(spark, sf, "customer").filter(F.col("c_nationkey") == 1)
+    return (load(spark, sf, "orders")
+            .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+            .select("o_orderkey", "o_totalprice"))
+
+
+def j4_anti_join(spark, sf):
+    """J4: backlog-purge anti-join shape."""
+    o = load(spark, sf, "orders")
+    return (load(spark, sf, "customer")
+            .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+PREFIXES = [("s", "src"), ("s1", "src1"), ("s18", "src18")]
+
+
+def j5_prefix_longest_match(spark, sf):
+    """J5/W4/C2: longest-prefix CURIE-ification of documents.source
+    against a broadcast prefix dict (thin2thick.clj:35-42)."""
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    pfx = spark.createDataFrame(PREFIXES, "prefix string, base string")
+    joined = docs.join(F.broadcast(pfx),
+                       F.col("source").startswith(F.col("base")), "left")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("base").desc(), F.col("prefix"))
+    return (joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id",
+                    F.coalesce(F.col("prefix"),
+                               F.concat(F.lit("<"), F.col("source"),
+                                        F.lit(">"))).alias("curie_prefix")))
+
+
+def j8_entity_link_join(spark, sf):
+    """J8: mention→candidate linking shape on driver tables: orders
+    (mentions) joined to a broadcast head dict (top customers) and
+    shuffle-joined to the tail."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    head = F.broadcast(c.filter(F.col("c_custkey") % 10 == 0)
+                       .select("c_custkey", "c_name"))
+    tail = c.filter(F.col("c_custkey") % 10 != 0) \
+            .select("c_custkey", "c_name")
+    h = o.join(head, F.col("o_custkey") == F.col("c_custkey"), "inner")
+    t = o.join(tail, F.col("o_custkey") == F.col("c_custkey"), "inner")
+    return (h.unionByName(t)
+            .select("o_orderkey", F.col("c_name").alias("entity")))
+
+
+# ------------------------------------------------------------------ sets
+
+def so1_union_dedup(spark, sf):
+    e = load(spark, sf, "events")
+    return (e.filter(F.col("event_type") == "click").select("user_id")
+            .union(e.filter(F.col("value") > 10).select("user_id"))
+            .distinct())
+
+
+def so4_symmetric_diff(spark, sf):
+    """SO4/J7: diff of two statement sets via exceptAll both ways."""
+    o = load(spark, sf, "orders").select("o_orderkey")
+    v1 = o.filter(F.col("o_orderkey") % 3 < 2)
+    v2 = o.filter(F.col("o_orderkey") % 3 > 0)
+    added = v2.exceptAll(v1).withColumn("side", F.lit("added"))
+    deleted = v1.exceptAll(v2).withColumn("side", F.lit("deleted"))
+    return added.unionByName(deleted)
+
+
+# --------------------------------------------------------------- windows
+
+def w4_rank_window(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (load(spark, sf, "orders")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey", "o_totalprice"))
+
+
+# -------------------------------------------- statement-row construction
+
+def f7_statement_rows(spark, sf):
+    """F7/K1: encode-json row projection (import.clj:19-31) over a
+    broadcast dim join."""
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (n.join(F.broadcast(r),
+                   F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(F.lit(1).cast("long").alias("assertion"),
+                    F.lit(0).cast("long").alias("retraction"),
+                    F.lit("graph").alias("graph"),
+                    F.concat(F.lit("ex:nation/"), F.col("n_name"))
+                    .alias("subject"),
+                    F.lit("ex:inRegion").alias("predicate"),
+                    F.concat(F.lit("ex:region/"), F.col("r_name"))
+                    .alias("object"),
+                    F.lit("_IRI").alias("datatype"),
+                    F.lit(None).cast("string").alias("annotation")))
+
+
+# ------------------------------------------------------------ TPC-H trio
+
+def tpch_q1(spark, sf):
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 _money_sum("l_extendedprice", "sum_base_price"),
+                 _revenue_sum("sum_disc_price"),
+                 F.avg("l_quantity").alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+def tpch_q3(spark, sf):
+    c = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15")
+    li = load(spark, sf, "lineitem")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(_revenue_sum()))
+
+
+def tpch_q5(spark, sf):
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf, "nation")
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(n),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(_revenue_sum()))
+
+
+# ----------------------------------------------------- dedup/text/simsearch
+
+def dedup_exact(spark, sf):
+    return exact_dedup_groups(load(spark, sf, "documents"))
+
+
+def dedup_word_jaccard(spark, sf):
+    return word_jaccard_pairs(load(spark, sf, "documents"), threshold=0.95)
+
+
+def dedup_minhash_lsh(spark, sf):
+    return minhash_lsh_pairs(load(spark, sf, "documents"))
+
+
+def text_token_count(spark, sf):
+    return token_count(load(spark, sf, "documents"))
+
+
+def text_quality(spark, sf):
+    return quality_score(load(spark, sf, "documents"))
+
+
+def text_langid(spark, sf):
+    return lang_id(load(spark, sf, "documents"))
+
+
+def text_fingerprint(spark, sf):
+    return fingerprint(load(spark, sf, "documents"))
+
+
+def ann_cosine_topk(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def kg_mention_extract(spark, sf):
+    """Mention detection over the flat documents table: closed
+    vocabulary containment scan (broadcast nested-loop by design)."""
+    vocab = spark.createDataFrame(
+        [("spark",), ("join",), ("filter",), ("window",)], "word string")
+    d = load(spark, sf, "documents")
+    return (d.join(F.broadcast(vocab), F.col("text").contains(F.col("word")))
+            .select("doc_id", F.col("word").alias("entity"),
+                    F.lit("ex:mentions").alias("predicate")))
+
+
+def diff_transactions(spark, sf):
+    """R12: statement-set diff with transaction ids."""
+    o = load(spark, sf, "orders").select("o_orderkey")
+
+    def stmts(df):
+        return df.select(
+            F.lit("graph").alias("graph"),
+            F.concat(F.lit("ex:o"), F.col("o_orderkey")).alias("subject"),
+            F.lit("ex:status").alias("predicate"),
+            F.lit("open").alias("object"),
+            F.lit("xsd:string").alias("datatype"),
+            F.lit(None).cast("string").alias("annotation"))
+
+    old = stmts(o.filter(F.col("o_orderkey") % 3 < 2))
+    new = stmts(o.filter(F.col("o_orderkey") % 3 > 0))
+    return diff_statements(old, new, transaction_id=2)
+
+
+QUERIES = {
+    "s3_scan_filter_project": s3_scan_filter_project,
+    "a1_group_collect": a1_group_collect,
+    "a4_max_transaction": a4_max_transaction,
+    "a5_distinct_sorted": a5_distinct_sorted,
+    "a8_get_type": a8_get_type,
+    "j3_semi_join": j3_semi_join,
+    "j4_anti_join": j4_anti_join,
+    "j5_prefix_longest_match": j5_prefix_longest_match,
+    "j8_entity_link_join": j8_entity_link_join,
+    "so1_union_dedup": so1_union_dedup,
+    "so4_symmetric_diff": so4_symmetric_diff,
+    "w4_rank_window": w4_rank_window,
+    "f7_statement_rows": f7_statement_rows,
+    "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
+    "dedup_exact": dedup_exact,
+    "dedup_word_jaccard": dedup_word_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "text_token_count": text_token_count,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "ann_cosine_topk": ann_cosine_topk,
+    "kg_mention_extract": kg_mention_extract,
+    "diff_transactions": diff_transactions,
+}
+
+_CENTS_PRICE = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+_CENTS_REVENUE = (f"{_CENTS_PRICE} * "
+                  "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))")
+
+_WORDS = ("SELECT DISTINCT doc_id, w AS word FROM documents, "
+          "unnest(string_split_regex(trim(text),'\\s+')) AS t(w) "
+          "WHERE w <> ''")
+
+_SHINGLES = (
+    "SELECT DISTINCT doc_id, shingle FROM "
+    "(SELECT doc_id, w[i] || ' ' || w[i+1] AS shingle FROM "
+    "(SELECT doc_id, string_split_regex(trim(text),'\\s+') AS w "
+    "FROM documents), "
+    "unnest(generate_series(1, greatest(len(w)-1, 1))) t(i)) "
+    "WHERE shingle IS NOT NULL")
+
+_SIG = ", ".join(
+    f"min(md5('{i}:' || shingle)) AS sig{i}" for i in range(8))
+
+_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(sig{2*b} || '|' || sig{2*b+1}) AS bucket FROM sigs"
+    for b in range(4))
+
+ORACLE_SQL = {
+    "s3_scan_filter_project":
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE l_quantity < 5",
+    "a1_group_collect":
+        "SELECT l_orderkey, count(*) AS n_items, "
+        "sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_orderkey",
+    "a4_max_transaction":
+        "SELECT max(event_id) AS max_assertion FROM events",
+    "a5_distinct_sorted":
+        "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "a8_get_type":
+        "SELECT user_id, CASE WHEN count(DISTINCT event_type) = 1 "
+        "THEN min(event_type) ELSE 'ambiguous' END AS rdf_type "
+        "FROM events GROUP BY user_id",
+    "j3_semi_join":
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_nationkey = 1)",
+    "j4_anti_join":
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "j5_prefix_longest_match":
+        "SELECT d.doc_id, coalesce((SELECT v.prefix FROM (VALUES "
+        "('s','src'),('s1','src1'),('s18','src18')) v(prefix, base) "
+        "WHERE d.source LIKE v.base || '%' "
+        "ORDER BY length(v.base) DESC, v.prefix LIMIT 1), "
+        "'<' || d.source || '>') AS curie_prefix FROM documents d",
+    "j8_entity_link_join":
+        "SELECT o_orderkey, c_name AS entity FROM orders "
+        "JOIN customer ON o_custkey = c_custkey",
+    "so1_union_dedup":
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "UNION SELECT user_id FROM events WHERE value > 10",
+    "so4_symmetric_diff":
+        "SELECT o_orderkey, 'added' AS side FROM "
+        "(SELECT o_orderkey FROM orders WHERE o_orderkey % 3 > 0 "
+        "EXCEPT ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 3 < 2)"
+        " UNION ALL "
+        "SELECT o_orderkey, 'deleted' AS side FROM "
+        "(SELECT o_orderkey FROM orders WHERE o_orderkey % 3 < 2 "
+        "EXCEPT ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 3 > 0)",
+    "w4_rank_window":
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+        "WHERE rn = 1",
+    "f7_statement_rows":
+        "SELECT CAST(1 AS BIGINT) AS assertion, "
+        "CAST(0 AS BIGINT) AS retraction, 'graph' AS graph, "
+        "'ex:nation/' || n_name AS subject, "
+        "'ex:inRegion' AS predicate, "
+        "'ex:region/' || r_name AS object, '_IRI' AS datatype, "
+        "CAST(NULL AS VARCHAR) AS annotation "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey",
+    "tpch_q1":
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+        f"sum({_CENTS_PRICE}) / 100.0 AS sum_base_price, "
+        f"sum({_CENTS_REVENUE}) / 10000.0 AS sum_disc_price, "
+        "avg(l_quantity) AS avg_qty, count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus",
+    "tpch_q3":
+        "SELECT o_orderkey, o_orderdate, "
+        f"sum({_CENTS_REVENUE}) / 10000.0 AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-03-15' "
+        "GROUP BY o_orderkey, o_orderdate",
+    "tpch_q5":
+        "SELECT n_name, "
+        f"sum({_CENTS_REVENUE}) / 10000.0 AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name",
+    "dedup_exact":
+        "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
+        "count(*) AS dupes FROM documents GROUP BY md5(text)",
+    "dedup_word_jaccard":
+        f"WITH words AS ({_WORDS}), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM words "
+        "GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS i FROM words a JOIN words b USING(word) "
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, i / (na.n + nb.n - i) AS jaccard "
+        "FROM inter JOIN sizes na ON doc_a = na.doc_id "
+        "JOIN sizes nb ON doc_b = nb.doc_id "
+        "WHERE i / (na.n + nb.n - i) >= 0.95",
+    "dedup_minhash_lsh":
+        f"WITH shingles AS ({_SHINGLES}), "
+        f"sigs AS (SELECT doc_id, {_SIG} FROM shingles GROUP BY doc_id), "
+        f"bands AS ({_BANDS}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b USING(band, bucket) "
+        "WHERE a.doc_id < b.doc_id",
+    "text_token_count":
+        "SELECT doc_id, length(string_split_regex(trim(text),'\\s+')) "
+        "AS n_tokens FROM documents",
+    "text_quality":
+        "SELECT doc_id, length(text) AS n_chars2, "
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
+        "/ greatest(length(text), 1) AS punct_ratio, "
+        + " + ".join(
+            f"(length(text) - length(replace(text, ' {w} ', ''))) "
+            f"// {len(w) + 2}" for w in
+            ("the", "a", "of", "and", "to", "in")) +
+        " AS stopword_hits, "
+        "(length(text) >= 50 AND (" + " + ".join(
+            f"(length(text) - length(replace(text, ' {w} ', ''))) "
+            f"// {len(w) + 2}" for w in
+            ("the", "a", "of", "and", "to", "in")) +
+        ") > 0) AS quality FROM documents",
+    "text_langid":
+        "SELECT doc_id, CASE "
+        "WHEN contains(text,'datos') OR contains(text,'consulta') "
+        "OR contains(text,'fila') THEN 'es' "
+        "WHEN contains(text,'表') OR contains(text,'行') "
+        "OR contains(text,'数据') THEN 'zh' "
+        "WHEN contains(text,'der') OR contains(text,'und') "
+        "OR contains(text,'zeile') THEN 'de' "
+        "ELSE 'en' END AS lang_pred FROM documents",
+    "text_fingerprint":
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), "
+        "'\\s+', ' ', 'g')) AS fp FROM documents",
+    "ann_cosine_topk":
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), "
+        "q AS (SELECT * FROM n WHERE vec_id < 10) "
+        "SELECT query_id, neighbor_id, rnk FROM ("
+        "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_dot_product(n.v, q.v) / (n.nrm * q.nrm) DESC, n.vec_id) "
+        "AS rnk FROM n, q WHERE n.vec_id <> q.vec_id) WHERE rnk <= 5",
+    "kg_mention_extract":
+        "SELECT doc_id, word AS entity, 'ex:mentions' AS predicate "
+        "FROM documents JOIN (VALUES ('spark'),('join'),('filter'),"
+        "('window')) v(word) ON contains(text, word)",
+    "diff_transactions":
+        "WITH old AS (SELECT 'graph' AS graph, "
+        "'ex:o' || o_orderkey AS subject, 'ex:status' AS predicate, "
+        "'open' AS object, 'xsd:string' AS datatype, "
+        "CAST(NULL AS VARCHAR) AS annotation FROM orders "
+        "WHERE o_orderkey % 3 < 2), "
+        "new AS (SELECT 'graph' AS graph, "
+        "'ex:o' || o_orderkey AS subject, 'ex:status' AS predicate, "
+        "'open' AS object, 'xsd:string' AS datatype, "
+        "CAST(NULL AS VARCHAR) AS annotation FROM orders "
+        "WHERE o_orderkey % 3 > 0) "
+        "SELECT CAST(2 AS BIGINT) AS assertion, "
+        "CAST(0 AS BIGINT) AS retraction, * FROM "
+        "(SELECT * FROM new EXCEPT ALL SELECT * FROM old) "
+        "UNION ALL "
+        "SELECT CAST(0 AS BIGINT) AS assertion, "
+        "CAST(2 AS BIGINT) AS retraction, * FROM "
+        "(SELECT * FROM old EXCEPT ALL SELECT * FROM new)",
+}

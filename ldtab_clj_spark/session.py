@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Test/bench boxes run local[N]; on a real cluster the same configs apply
+(AQE + skew-join handling are the explicit requirements of the north
+rule; Arrow is the transport for every pandas UDF in this engine).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip this package for executor shipping — the local-mode
+    equivalent of the north rule's ``spark-submit --py-files``."""
+    pkg_root = Path(__file__).resolve().parent
+    out = Path(tempfile.gettempdir()) / "ldtab_clj_spark_pyfiles.zip"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg_root.rglob("*.py")):
+            zf.write(py, Path("ldtab_clj_spark") / py.relative_to(pkg_root))
+    return str(out)
+
+
+def get_spark(app_name: str = "ldtab_clj_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing + skew-join splitting (hot head
+        # entities are Zipf-distributed by design)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transport for pandas UDFs / toPandas
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # sane scan granularity for the 100 TB case: 128 MB splits
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark

@@ -1,0 +1,136 @@
+"""End-to-end distributed pipeline vs a single-node oracle.
+
+The oracle runs the SAME semantic core driver-side over collected
+spans (no Spark partitioning, grouping, or joins involved), playing
+the role of the reference implementation: P/R of the distributed
+result vs the oracle must be ≥ 0.95 (BASELINE.json). Also checks the
+per-row span-sequence invariant (kind, text, media_ref, order) and
+round-trip re-import P/R.
+"""
+
+import pytest
+
+from ldtab_clj_spark.core.expand import (expand_statement_row,
+                                         merge_existential_rows)
+from ldtab_clj_spark.core.thick import (drop_superfluous_annotations,
+                                        thin_to_thick, to_statement_row)
+from ldtab_clj_spark.operators.extract import _parse_span
+from ldtab_clj_spark.plans.pipeline import build_statements, run_pipeline
+from ldtab_clj_spark.synth import (N_ENTITIES, entity_dictionary,
+                                   make_doc_spans, synth_docs)
+
+N_DOCS = 120
+SEED = 42
+
+
+def oracle_statements():
+    """Driver-side single-node reference path (no Spark)."""
+    # surface → winning entity (same argmax-score rule as link.py)
+    dictionary = {}
+    for i in range(N_ENTITIES):
+        for surf in (f"Widget {i}", f"W-{i}"):
+            dictionary[surf] = f"ex:E{i}"
+
+    def link(v, dt):
+        if v.startswith("surface:") and dt == "_IRI":
+            return dictionary.get(v[8:], "ex:UNLINKED")
+        return v
+
+    rows = []
+    for d in range(N_DOCS):
+        doc_id = f"doc-{d:010d}"
+        thin = []
+        for pos, span in enumerate(make_doc_spans(SEED, d)):
+            for s, p, o, dt, bs, bo in _parse_span(
+                    doc_id, pos, span["kind"], span["text"],
+                    span["media_ref"]):
+                s2 = s if bs else link(s, "_IRI")
+                o2 = o if bo else link(o, dt)
+                thin.append({"subject": s2, "predicate": p, "object": o2,
+                             "datatype": dt, "is_blank_s": bs,
+                             "is_blank_o": bo})
+        rows.extend(to_statement_row(t) for t in thin_to_thick(thin))
+    # set semantics + annotation dedup (materialize.py equivalents)
+    uniq = {tuple(sorted(r.items(), key=lambda kv: kv[0])): r for r in rows}
+    return drop_superfluous_annotations(list(uniq.values()))
+
+
+def row_key(r):
+    g = r["graph"] if isinstance(r, dict) else r.graph
+    get = (lambda k: r[k]) if isinstance(r, dict) else (lambda k: getattr(r, k))
+    return (g, get("subject"), get("predicate"), get("object"),
+            get("datatype"), get("annotation"))
+
+
+def precision_recall(result_keys, oracle_keys):
+    tp = len(result_keys & oracle_keys)
+    p = tp / len(result_keys) if result_keys else 0.0
+    r = tp / len(oracle_keys) if oracle_keys else 0.0
+    return p, r
+
+
+@pytest.fixture(scope="module")
+def statements(spark):
+    docs = synth_docs(spark, N_DOCS, seed=SEED)
+    return build_statements(docs, entity_dictionary(spark)).cache()
+
+
+def test_span_sequence_invariant(spark):
+    """posexplode order must equal generator span order — (kind, text,
+    media_ref, order) per row (BASELINE.json input_hint)."""
+    from pyspark.sql import functions as F
+    docs = synth_docs(spark, 20, seed=SEED)
+    got = (docs.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+           .select("doc_id", "pos", "s.kind", "s.text", "s.media_ref")
+           .collect())
+    expected = {}
+    for d in range(20):
+        for pos, sp in enumerate(make_doc_spans(SEED, d)):
+            expected[(f"doc-{d:010d}", pos)] = (sp["kind"], sp["text"],
+                                                sp["media_ref"])
+    assert len(got) == len(expected)
+    for row in got:
+        assert expected[(row.doc_id, row.pos)] == \
+            (row.kind, row.text, row.media_ref)
+
+
+def test_pipeline_matches_oracle(statements):
+    result = {row_key(r) for r in statements.collect()}
+    oracle = {row_key(r) for r in oracle_statements()}
+    p, r = precision_recall(result, oracle)
+    assert p >= 0.95 and r >= 0.95, (p, r, len(result), len(oracle))
+    # in fact the paths should agree exactly
+    assert p == 1.0 and r == 1.0
+
+
+def test_no_unresolved_surfaces(statements):
+    from pyspark.sql import functions as F
+    bad = statements.filter(
+        F.col("subject").startswith("surface:")
+        | F.col("object").startswith("surface:")).count()
+    assert bad == 0
+
+
+def test_roundtrip_pr(statements):
+    """Export → thin expansion → re-import ≥ 0.95 P/R (reference oracle:
+    ROBOT round-trip, /root/reference/Makefile test target)."""
+    rows = [dict(r.asDict()) for r in statements.collect()]
+    merged = merge_existential_rows(rows)
+    thin = [t for row in merged for t in expand_statement_row(row)]
+    # group re-imported triples by their originating row is impossible
+    # (a real re-import sees one big graph) — run the whole set at once
+    again = drop_superfluous_annotations(
+        [to_statement_row(t) for t in thin_to_thick(thin)])
+    result = {row_key(r) for r in again}
+    oracle = {row_key(r) for r in rows}
+    p, r = precision_recall(result, oracle)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_materialize_lineage(spark, tmp_path, statements):
+    from ldtab_clj_spark.operators.materialize import (verify_lineage,
+                                                       write_statements)
+    out = str(tmp_path / "statement")
+    info = write_statements(statements, out, partitions=8)
+    assert info["rows"] == statements.count()
+    assert verify_lineage(spark, out)

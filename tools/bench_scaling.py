@@ -1,0 +1,83 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule).
+
+Runs the SAME KG pipeline on the SAME input at two parallelism levels
+(default local[2] vs local[8] — the sandbox stand-in for N vs 4N
+executors; synth is partition-count-invariant so inputs are identical)
+in separate JVMs, and reports throughput at both plus scaling
+efficiency = (tput@4N / tput@N) / 4. Appends results to
+BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, "{repo}")
+from ldtab_clj_spark.session import get_spark
+from ldtab_clj_spark.plans.pipeline import run_pipeline
+spark = get_spark("scaling", master="local[{cores}]",
+                  shuffle_partitions={parts},
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+# warm the JVM/Python workers so we time compute, not startup
+run_pipeline(spark, n_docs=200, seed=1).count()
+t0 = time.perf_counter()
+rows = run_pipeline(spark, n_docs={n_docs}, seed=42,
+                    partitions={parts}).count()
+dt = time.perf_counter() - t0
+print(json.dumps({{"cores": {cores}, "rows": int(rows), "sec": dt,
+                   "rows_per_sec": rows / dt}}))
+"""
+
+# identical plan/partitioning for both runs — only the executor-thread
+# count varies, the honest analog of N vs 4N executors on a fixed input
+PARTS = 64
+
+
+def run(cores: int, n_docs: int) -> dict:
+    code = RUNNER.format(repo=REPO, cores=cores, n_docs=n_docs,
+                         parts=PARTS)
+    out = subprocess.run([sys.executable, "-c", code], check=True,
+                         capture_output=True, text=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    lo, hi = 2, 8
+    r_lo, r_hi = run(lo, n_docs), run(hi, n_docs)
+    eff = (r_hi["rows_per_sec"] / r_lo["rows_per_sec"]) / (hi / lo)
+    result = {"n_docs": n_docs, "low": r_lo, "high": r_hi,
+              "scaling_efficiency": round(eff, 3),
+              "ts": int(time.time())}
+    print(json.dumps(result))
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    md = bench_dir / "BASELINE.md"
+    lines = [] if not md.exists() else [md.read_text()]
+    if not lines:
+        lines.append(
+            "# BENCH/BASELINE — measured numbers\n\n"
+            "KG pipeline (synth docs → extract → link → thin→thick → "
+            "dedup → count), identical input at two parallelism levels "
+            "(sandbox stand-in for N vs 4N executors; target "
+            "efficiency ≥ 0.8 per BASELINE.json north_rule).\n\n"
+            "| docs | statements | local[N] rows/s | local[4N] rows/s "
+            "| efficiency |\n|---|---|---|---|---|\n")
+    lines.append(
+        f"| {n_docs} | {r_hi['rows']} | {r_lo['rows_per_sec']:.0f} "
+        f"| {r_hi['rows_per_sec']:.0f} | {eff:.3f} |\n")
+    md.write_text("".join(lines))
+
+
+if __name__ == "__main__":
+    main()
