@@ -1,0 +1,144 @@
+"""Export sinks + thick→thin expansion operator (SURVEY.md K2-K5,
+R10/R11).
+
+Reference: /root/reference/src/ldtab/export.clj (TSV + Turtle writers),
+thick_rdf.clj:195-228 (row → RDF model). We emit:
+
+* TSV statement dumps with the reference's newline/tab escaping
+  (export.clj:17-29) and optional lexicographic sort (export.clj:50-52)
+  — distributed ``df.write.csv``;
+* thin-triple expansion (``expand_df``) as a ``mapInPandas`` UDTF —
+  the round-trip path (export → re-import) used by the P/R oracle;
+* N-Triples text lines (the Turtle-equivalent sink; Jena's prefix
+  compaction is presentation-only) written distributedly as text.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.canonical import content_hash, curie_to_iri
+from ..core.expand import expand_statement_row, merge_existential_rows
+from ..schemas import STATEMENT, THIN
+
+STATEMENT_COLS = [f.name for f in STATEMENT.fields]
+
+
+def escape_tsv(col):
+    """export.clj:17-29 — literal \\n, \\r, \\t escapes."""
+    out = F.regexp_replace(col, r"\n", r"\\n")
+    out = F.regexp_replace(out, r"\r", r"\\r")
+    return F.regexp_replace(out, r"\t", r"\\t")
+
+
+def write_tsv(statements: DataFrame, path: str, sort: bool = False) -> None:
+    """K2: TSV export sink. ``sort`` = reference --sort flag
+    (lexicographic; a global range-partitioned sort in Spark)."""
+    df = statements.select(
+        *[escape_tsv(F.col(c).cast("string")).alias(c)
+          if c in ("subject", "predicate", "object", "annotation")
+          else F.col(c).cast("string").alias(c)
+          for c in STATEMENT_COLS])
+    if sort:
+        df = df.orderBy(*STATEMENT_COLS)
+    (df.write.mode("overwrite")
+       .option("sep", "\t").option("header", True)
+       .option("emptyValue", "").csv(path))
+
+
+def read_tsv(spark, path: str) -> DataFrame:
+    """S5: TSV statement source (diff.clj:8-12)."""
+    df = (spark.read.option("sep", "\t").option("header", True)
+          .csv(path))
+    return df.select(
+        F.col("assertion").cast("long"),
+        F.col("retraction").cast("long"),
+        "graph", "subject", "predicate", "object", "datatype",
+        "annotation")
+
+
+def read_prefix_tsv(spark, path: str) -> DataFrame:
+    """S4: prefix TSV source (prefix.clj:8-12, header dropped)."""
+    return (spark.read.option("sep", "\t").option("header", True)
+            .csv(path).select("prefix", "base"))
+
+
+def expand_df(statements: DataFrame) -> DataFrame:
+    """R10/R11 as a distributed operator: statement rows → thin
+    triples (one-to-many, Arrow-batched). Wiring-subject groups are
+    merged first, so the input must be partitioned by subject — the
+    materialized statement table already is; we repartition defensively
+    (wiring groups are 2-5 rows, the shuffle is on short keys)."""
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) \
+            if len(parts) > 1 else parts[0]
+        rows = merge_existential_rows(pdf.to_dict("records"))
+        out = []
+        for i, r in enumerate(rows):
+            # blank labels are row-content-hash-local (core.expand), so
+            # each expanded row is a closed stanza component: its hash
+            # becomes the re-import grouping key (doc_id slot)
+            comp = content_hash("|".join(
+                str(r.get(k)) for k in ("subject", "predicate", "object",
+                                        "datatype", "annotation")))
+            for t in expand_statement_row(r):
+                out.append((t["subject"], t["predicate"], t["object"],
+                            t["datatype"], t["is_blank_s"],
+                            t["is_blank_o"], comp, 0))
+        yield pd.DataFrame(out, columns=[f.name for f in THIN.fields])
+
+    return (statements.repartition(F.col("subject"))
+            .mapInPandas(expand, THIN))
+
+
+def to_ntriples_lines(statements: DataFrame,
+                      prefix_df: DataFrame) -> DataFrame:
+    """K3/K4: flat-triple rows → N-Triples text lines (IRIs expanded
+    via the broadcast prefix map, curie-2-uri semantics
+    thick_rdf.clj:32-43). Compound rows are expanded by expand_df
+    first; literals are quoted with datatype/lang tags."""
+    prefixes = {r["prefix"]: r["base"] for r in prefix_df.collect()}
+    thin = expand_df(statements)
+
+    def fmt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def node(v: str, blank: bool) -> str:
+            if blank:
+                return v.replace("_:", "_:b")
+            iri = curie_to_iri(v, prefixes)
+            return f"<{iri}>"
+
+        def obj(v: str, dt: str, blank: bool) -> str:
+            if blank or dt == "_JSONMAP":
+                return v.replace("_:", "_:b")
+            if dt == "_IRI":
+                return f"<{curie_to_iri(v, prefixes)}>"
+            lex = (v.replace("\\", "\\\\").replace('"', '\\"')
+                   .replace("\n", "\\n"))
+            if dt.startswith("@"):
+                return f'"{lex}"{dt}'
+            return f'"{lex}"^^<{curie_to_iri(dt, prefixes)}>'
+
+        for pdf in batches:
+            lines = [
+                f"{node(s, bs)} <{curie_to_iri(p, prefixes)}> "
+                f"{obj(o, dt, bo)} ."
+                for s, p, o, dt, bs, bo in zip(
+                    pdf["subject"], pdf["predicate"], pdf["object"],
+                    pdf["datatype"], pdf["is_blank_s"], pdf["is_blank_o"])
+            ]
+            yield pd.DataFrame({"value": lines})
+
+    return thin.mapInPandas(fmt, "value string")
+
+
+def write_ntriples(statements: DataFrame, prefix_df: DataFrame,
+                   path: str) -> None:
+    to_ntriples_lines(statements, prefix_df) \
+        .write.mode("overwrite").text(path)

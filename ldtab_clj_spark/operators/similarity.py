@@ -56,6 +56,24 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "rnk"))
 
 
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b).
+
+    Brute-force all-pairs at test scale (the exact baseline); the LSH
+    path (srp_bucket) is the 100 TB candidate generator."""
+    n = with_norm(embeddings, vec_col).select("vec_id", "_v", "_norm")
+    a = n.select(F.col("vec_id").alias("vec_a"),
+                 F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+    b = n.select(F.col("vec_id").alias("vec_b"),
+                 F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .withColumn("sim", _dot(F.col("_va"), F.col("_vb"))
+                        / (F.col("_na") * F.col("_nb")))
+            .filter(F.col("sim") >= threshold)
+            .select("vec_a", "vec_b"))
+
+
 def srp_bucket(df: DataFrame, planes: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Sign-random-projection bucket id: one bit per hyperplane."""

@@ -28,6 +28,18 @@ def build_statements(docs: DataFrame,
     return dedup_statements(thick)
 
 
+def reimport(statements: DataFrame) -> DataFrame:
+    """Round trip: statement table → thin expansion → re-import.
+
+    The distributed analog of the reference's export→import round trip
+    (its correctness oracle, Makefile test target): output must match
+    the input statement set at P/R ≥ 0.95."""
+    from ..operators.export import expand_df
+    from ..operators.materialize import dedup_statements
+    from ..operators.stanza import thin_to_thick_df
+    return dedup_statements(thin_to_thick_df(expand_df(statements)))
+
+
 def run_pipeline(spark: SparkSession, n_docs: int = 1000, seed: int = 42,
                  out_path: str | None = None,
                  partitions: int | None = None) -> DataFrame:

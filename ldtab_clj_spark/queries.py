@@ -298,7 +298,84 @@ def diff_transactions(spark, sf):
     return diff_statements(old, new, transaction_id=2)
 
 
+_CURIFY_PREFIXES = [("exn", "http://example.com/nation/"),
+                    ("ex", "http://example.com/")]
+_EXPAND_PREFIXES = [("rdf", "http://www.w3.org/1999/02/22-rdf-syntax-ns#"),
+                    ("owl", "http://www.w3.org/2002/07/owl#"),
+                    ("ex", "http://example.com/")]
+
+
+def c2_curify(spark, sf):
+    """C2/J5: longest-prefix CURIE-ification as a codegen CASE chain
+    (thin2thick.clj:35-42) incl. the <iri> fallback."""
+    from .functions.prefixes import curify_col
+    n = load(spark, sf, "nation").select(
+        "n_name",
+        F.concat(F.lit("http://example.com/nation/"), F.col("n_name"))
+        .alias("iri"))
+    r = load(spark, sf, "region").select(
+        F.col("r_name").alias("n_name"),
+        F.concat(F.lit("urn:x/"), F.col("r_name")).alias("iri"))
+    return n.unionByName(r).select(
+        "n_name", curify_col(F.col("iri"), _CURIFY_PREFIXES).alias("curie"))
+
+
+def j6_curie_expand(spark, sf):
+    """C3/J6: CURIE → IRI expansion incl. <>-stripping
+    (thick_rdf.clj:32-43)."""
+    from .functions.prefixes import curie_to_iri_col
+    n = load(spark, sf, "nation")
+    curies = (n.select(F.concat(F.lit("ex:nation/"), F.col("n_name"))
+                       .alias("curie"))
+              .union(n.limit(0).select(F.lit("rdf:type").alias("curie")))
+              .union(spark.createDataFrame(
+                  [("rdf:type",), ("owl:Class",), ("<http://raw/x>",)],
+                  "curie string")))
+    return curies.select(
+        "curie",
+        curie_to_iri_col(F.col("curie"), _EXPAND_PREFIXES).alias("iri"))
+
+
+def so5_state_replay(spark, sf):
+    """SO5/A5: state-at-transaction replay (diff.clj:151-164)."""
+    from .operators.diff import current_state
+    o = load(spark, sf, "orders")
+    hist = o.select(
+        (F.col("o_orderkey") % 5 + 1).cast("long").alias("assertion"),
+        F.when(F.col("o_orderkey") % 7 == 0,
+               (F.col("o_orderkey") % 5 + 3))
+        .otherwise(F.lit(0)).cast("long").alias("retraction"),
+        F.lit("graph").alias("graph"),
+        F.concat(F.lit("ex:o"), F.col("o_orderkey")).alias("subject"),
+        F.lit("ex:status").alias("predicate"),
+        F.col("o_orderstatus").alias("object"),
+        F.lit("xsd:string").alias("datatype"),
+        F.lit(None).cast("string").alias("annotation"))
+    return current_state(hist, at_transaction=3)
+
+
+def c4_tsv_escape(spark, sf):
+    """C4/K2: newline/tab TSV escaping (export.clj:17-29)."""
+    from .operators.export import escape_tsv
+    n = load(spark, sf, "nation")
+    raw = F.concat(F.lit("a\n"), F.col("n_name"), F.lit("\tb\r"))
+    return n.select("n_nationkey", escape_tsv(raw).alias("escaped"))
+
+
+def ann_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (threshold tuned to the
+    synthetic corpus's similarity range)."""
+    from .operators.similarity import cosine_near_dup_pairs
+    return cosine_near_dup_pairs(load(spark, sf, "embeddings"),
+                                 threshold=0.4)
+
+
 QUERIES = {
+    "c2_curify": c2_curify,
+    "j6_curie_expand": j6_curie_expand,
+    "so5_state_replay": so5_state_replay,
+    "c4_tsv_escape": c4_tsv_escape,
+    "ann_near_dup": ann_near_dup,
     "s3_scan_filter_project": s3_scan_filter_project,
     "a1_group_collect": a1_group_collect,
     "a4_max_transaction": a4_max_transaction,
@@ -352,6 +429,51 @@ _BANDS = " UNION ALL ".join(
     for b in range(4))
 
 ORACLE_SQL = {
+    "c2_curify":
+        "SELECT n_name, CASE "
+        "WHEN iri LIKE 'http://example.com/nation/%' "
+        "THEN 'exn:' || substr(iri, 27) "
+        "WHEN iri LIKE 'http://example.com/%' "
+        "THEN 'ex:' || substr(iri, 20) "
+        "ELSE '<' || iri || '>' END AS curie FROM ("
+        "SELECT n_name, 'http://example.com/nation/' || n_name AS iri "
+        "FROM nation UNION ALL "
+        "SELECT r_name AS n_name, 'urn:x/' || r_name AS iri FROM region)",
+    "j6_curie_expand":
+        "SELECT curie, CASE "
+        "WHEN curie LIKE 'ex:%' "
+        "THEN 'http://example.com/' || substr(curie, 4) "
+        "WHEN curie LIKE 'owl:%' "
+        "THEN 'http://www.w3.org/2002/07/owl#' || substr(curie, 5) "
+        "WHEN curie LIKE 'rdf:%' "
+        "THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#' "
+        "|| substr(curie, 5) "
+        "ELSE regexp_replace(curie, '^<(.*)>$', '\\1') END AS iri FROM ("
+        "SELECT 'ex:nation/' || n_name AS curie FROM nation "
+        "UNION ALL SELECT 'rdf:type' UNION ALL SELECT 'owl:Class' "
+        "UNION ALL SELECT '<http://raw/x>')",
+    "so5_state_replay":
+        "SELECT graph, subject, predicate, object, datatype, annotation "
+        "FROM (SELECT CAST(o_orderkey % 5 + 1 AS BIGINT) AS assertion, "
+        "CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey % 5 + 3 "
+        "ELSE 0 END AS BIGINT) AS retraction, "
+        "'graph' AS graph, 'ex:o' || o_orderkey AS subject, "
+        "'ex:status' AS predicate, o_orderstatus AS object, "
+        "'xsd:string' AS datatype, CAST(NULL AS VARCHAR) AS annotation "
+        "FROM orders) WHERE assertion <= 3 "
+        "AND (retraction = 0 OR retraction > 3)",
+    "c4_tsv_escape":
+        "SELECT n_nationkey, "
+        "replace(replace(replace('a' || chr(10) || n_name || chr(9) "
+        "|| 'b' || chr(13), chr(10), '\\n'), chr(13), '\\r'), "
+        "chr(9), '\\t') AS escaped FROM nation",
+    "ann_near_dup":
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id "
+        "WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4",
     "s3_scan_filter_project":
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
         "WHERE l_quantity < 5",
