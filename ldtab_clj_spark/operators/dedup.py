@@ -98,6 +98,63 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+_HEX = "0123456789abcdef"
+SIMHASH_NIBBLES = 16  # 64-bit signature as 16 hex nibbles
+
+
+def simhash_signatures(docs: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over bigram shingles as a 16-hex-char string.
+
+    Pure integer/string arithmetic (md5 nibbles → bit sums → majority
+    vote → hex), identical in Spark and ANSI SQL — no engine hash
+    functions leak into results. All JVM-side; the per-doc aggregation
+    is one map-side-combinable groupBy.
+    """
+    sh = doc_shingles(docs, text_col).withColumn(
+        "h", F.md5(F.col("shingle")))
+    # bit sums: nibble p (1..16), bit j (0..3)
+    aggs = [F.count("*").alias("cnt")]
+    for p in range(1, SIMHASH_NIBBLES + 1):
+        v = F.instr(F.lit(_HEX), F.substring("h", p, 1)) - 1
+        for j in range(4):
+            aggs.append(F.sum((v.cast("long") / (2 ** j)).cast("long") % 2)
+                        .alias(f"s{p}_{j}"))
+    agg = sh.groupBy("doc_id").agg(*aggs)
+    chars = []
+    for p in range(1, SIMHASH_NIBBLES + 1):
+        nib = None
+        for j in range(4):
+            bit = F.when(2 * F.col(f"s{p}_{j}") >= F.col("cnt"), 1) \
+                .otherwise(0) * (2 ** j)
+            nib = bit if nib is None else nib + bit
+        chars.append(F.substr(F.lit(_HEX), nib + 1, F.lit(1)))
+    return agg.select("doc_id", F.concat(*chars).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  bands: int = 4) -> DataFrame:
+    """Near-dup candidates: docs whose SimHash matches on any of
+    ``bands`` contiguous nibble quarters (≈ small hamming distance).
+    Same banded-LSH shuffle shape as minhash_lsh_pairs."""
+    sigs = simhash_signatures(docs, text_col)
+    width = SIMHASH_NIBBLES // bands
+    parts = []
+    for b in range(bands):
+        parts.append(sigs.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.substring("simhash", b * width + 1, width).alias("bucket")))
+    all_bands = parts[0]
+    for p in parts[1:]:
+        all_bands = all_bands.unionByName(p)
+    a, b2 = all_bands.alias("a"), all_bands.alias("b")
+    return (a.join(b2, ["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       n_hashes: int = N_MINHASH,
                       band_size: int = BAND_SIZE) -> DataFrame:

@@ -248,6 +248,16 @@ def dedup_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(load(spark, sf, "documents"))
 
 
+def dedup_simhash(spark, sf):
+    from .operators.dedup import simhash_signatures
+    return simhash_signatures(load(spark, sf, "documents"))
+
+
+def dedup_simhash_pairs(spark, sf):
+    from .operators.dedup import simhash_pairs
+    return simhash_pairs(load(spark, sf, "documents"))
+
+
 def text_token_count(spark, sf):
     return token_count(load(spark, sf, "documents"))
 
@@ -395,6 +405,8 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_word_jaccard": dedup_word_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -422,6 +434,30 @@ _SHINGLES = (
 
 _SIG = ", ".join(
     f"min(md5('{i}:' || shingle)) AS sig{i}" for i in range(8))
+
+
+def _simhash_sql() -> str:
+    """Generate the portable SimHash SQL mirroring
+    operators/dedup.py:simhash_signatures nibble arithmetic."""
+    sums = ["count(*) AS cnt"]
+    for p in range(1, 17):
+        v = f"(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+        for j in range(4):
+            sums.append(f"sum(({v} // {2 ** j}) % 2) AS s{p}_{j}")
+    chars = []
+    for p in range(1, 17):
+        nib = " + ".join(
+            f"(CASE WHEN 2 * s{p}_{j} >= cnt THEN 1 ELSE 0 END) * {2 ** j}"
+            for j in range(4))
+        chars.append(f"substr('0123456789abcdef', ({nib}) + 1, 1)")
+    return (f"WITH shingles AS ({{shingles}}), "
+            "hs AS (SELECT doc_id, md5(shingle) AS h FROM shingles), "
+            f"agg AS (SELECT doc_id, {', '.join(sums)} "
+            "FROM hs GROUP BY doc_id) "
+            f"SELECT doc_id, {' || '.join(chars)} AS simhash FROM agg")
+
+
+_SIMHASH = _simhash_sql()
 
 _BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "
@@ -570,6 +606,16 @@ ORACLE_SQL = {
         f"WITH shingles AS ({_SHINGLES}), "
         f"sigs AS (SELECT doc_id, {_SIG} FROM shingles GROUP BY doc_id), "
         f"bands AS ({_BANDS}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b USING(band, bucket) "
+        "WHERE a.doc_id < b.doc_id",
+    "dedup_simhash": _SIMHASH.format(shingles=_SHINGLES),
+    "dedup_simhash_pairs":
+        f"WITH sh AS ({_SIMHASH.format(shingles=_SHINGLES)}), "
+        "bands AS (" + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"substr(simhash, {b * 4 + 1}, 4) AS bucket FROM sh"
+            for b in range(4)) + ") "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM bands a JOIN bands b USING(band, bucket) "
         "WHERE a.doc_id < b.doc_id",

@@ -1,0 +1,84 @@
+"""Streaming import (SURVEY.md §2.9).
+
+Reference: ``ldtab import --streaming`` (import.clj:142-184) — a
+bounded-memory incremental import: fixed windows of triples, a backlog
+for annotations whose statements haven't arrived (or vice versa), flush
+at EOF. Event-time windows/watermarks don't exist in the reference;
+its "streaming" is incremental batching, which maps naturally onto
+Structured Streaming micro-batches + ``foreachBatch``.
+
+Semantics preserved:
+* each micro-batch of docs runs the full extract→link→thin→thick chain
+  (the reference's parse-window, parsing.clj:220-243);
+* the superfluous-annotation rule (import.clj:199-201) is applied
+  across batches via the backlog algebra: a bare triple is dropped if
+  an annotated twin exists in this batch or any earlier one (SO1/SO2,
+  import.clj:118-131); a bare triple that arrived *before* its
+  annotated twin is removed by dedup-on-read (the reference leaves the
+  same cleanup to its unstated-annotation tail flush);
+* writes are idempotent appends + dedup-on-read, so replaying a batch
+  after failure cannot corrupt the table (checkpointed, resumable —
+  north rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.materialize import dedup_statements
+from ..plans.pipeline import build_statements
+from ..schemas import DOCS
+
+KEYS = ["graph", "subject", "predicate", "object", "datatype"]
+
+
+def stream_docs_from_dir(spark: SparkSession, in_dir: str,
+                         files_per_trigger: int = 1) -> DataFrame:
+    """Micro-batched docs source (one file ≈ one reference window)."""
+    return (spark.readStream.schema(DOCS)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(in_dir))
+
+
+def run_streaming_import(spark: SparkSession, in_dir: str,
+                         table_path: str, checkpoint: str,
+                         entity_dict: DataFrame,
+                         available_now: bool = True):
+    """Incremental import: docs stream → statement table appends.
+
+    Returns the StreamingQuery (call ``awaitTermination()``)."""
+    dict_cached = entity_dict.localCheckpoint()
+
+    def handle_batch(batch_docs: DataFrame, batch_id: int) -> None:
+        st = build_statements(batch_docs, dict_cached).localCheckpoint()
+        annotated = st.filter(F.col("annotation").isNotNull())
+        bare = st.filter(F.col("annotation").isNull())
+        # backlog rule: bare rows annotated in this batch or earlier
+        # batches are superfluous
+        ann_keys = annotated.select(*KEYS)
+        try:
+            prev_ann = (spark.read.parquet(table_path)
+                        .filter(F.col("annotation").isNotNull())
+                        .select(*KEYS))
+            ann_keys = ann_keys.unionByName(prev_ann)
+        except Exception:
+            pass  # first batch: table doesn't exist yet
+        bare_kept = bare.join(ann_keys.dropDuplicates(KEYS),
+                              on=KEYS, how="left_anti")
+        (annotated.unionByName(bare_kept)
+         .write.mode("append").parquet(table_path))
+
+    writer = (stream_docs_from_dir(spark, in_dir).writeStream
+              .foreachBatch(handle_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_result(spark: SparkSession, table_path: str) -> DataFrame:
+    """Final statement set: dedup-on-read resolves cross-batch
+    duplicates and bare-before-annotated arrivals (the reference's
+    tail flush, import.clj:80-101)."""
+    return dedup_statements(spark.read.parquet(table_path))
