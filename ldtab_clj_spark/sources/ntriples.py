@@ -1,0 +1,98 @@
+"""N-Triples source (SURVEY.md S1/S2 for the one RDF format parseable
+without Jena).
+
+Reference: import.clj:148-154 (streamed triple iterator) /
+rdf_model.clj:42-51 (eager model load). A distributed text scan +
+vectorized regex parse replaces the pull iterator; the blank-node
+closure that Jena's Model gave the reference for free is
+operators/components.py.
+
+Lines → thin triples: IRIs are CURIE-fied against the prefix table
+(longest match, thin2thick.clj:35-42); literals keep their lexical
+form with ``@lang`` / datatype-CURIE tags (thin2thick.clj:120-142).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core.canonical import curify_with
+from ..schemas import THIN
+
+_IRI = r"<([^>]*)>"
+_BLANK = r"(_:[^\s]+)"
+_LIT = r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?'
+NT_LINE = re.compile(
+    rf"^\s*(?:{_IRI}|{_BLANK})\s+{_IRI}\s+"
+    rf"(?:{_IRI}|{_BLANK}|{_LIT})\s*\.\s*$")
+
+_UNESCAPE = {"\\n": "\n", "\\r": "\r", "\\t": "\t",
+             '\\"': '"', "\\\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r'\\[nrt"\\]', lambda m: _UNESCAPE[m.group(0)], s)
+
+
+def parse_nt_line(line: str, prefixes: list[tuple[str, str]]):
+    """One N-Triples line → thin-triple tuple, or None for blank /
+    comment / unparseable lines."""
+    if not line or line.lstrip().startswith("#"):
+        return None
+    m = NT_LINE.match(line)
+    if not m:
+        return None
+    (s_iri, s_blank, p_iri, o_iri, o_blank,
+     o_lex, o_lang, o_dt) = m.groups()
+    subject = s_blank if s_blank else curify_with(s_iri, prefixes)
+    predicate = curify_with(p_iri, prefixes)
+    if o_blank:
+        obj, dt = o_blank, "_JSONMAP"
+    elif o_iri is not None:
+        obj, dt = curify_with(o_iri, prefixes), "_IRI"
+    else:
+        obj = _unescape(o_lex)
+        if o_lang:
+            dt = f"@{o_lang}"
+        elif o_dt:
+            dt = curify_with(o_dt, prefixes)
+        else:
+            dt = "xsd:string"  # plain literal (Jena can't tell either,
+            #                    thin2thick.clj:125)
+    return (subject, predicate, obj, dt,
+            subject.startswith("_:"), bool(o_blank))
+
+
+def read_ntriples(spark: SparkSession, path: str,
+                  prefix_df: DataFrame) -> DataFrame:
+    """Distributed N-Triples scan → thin triples (doc_id empty; run
+    operators/components.assign_components before stanza assembly)."""
+    prefixes = [(r["prefix"], r["base"]) for r in prefix_df.collect()]
+    lines = spark.read.text(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for line in pdf["value"]:
+                t = parse_nt_line(line, prefixes)
+                if t:
+                    rows.append((*t, "", 0))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in THIN.fields])
+
+    return lines.mapInPandas(parse, THIN)
+
+
+def import_ntriples(spark: SparkSession, path: str,
+                    prefix_df: DataFrame) -> DataFrame:
+    """Full `ldtab import file.nt` equivalent: parse → component
+    closure → stanza assembly → dedup. Returns the statement table."""
+    from ..operators.components import assign_components
+    from ..operators.materialize import dedup_statements
+    from ..operators.stanza import thin_to_thick_df
+    thin = assign_components(read_ntriples(spark, path, prefix_df))
+    return dedup_statements(thin_to_thick_df(thin))

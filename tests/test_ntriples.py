@@ -1,0 +1,86 @@
+"""N-Triples source + global blank-component closure: the format-level
+round trip (statements → .nt text → re-import → same statements)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ldtab_clj_spark.operators.components import (assign_components,
+                                                  blank_components)
+from ldtab_clj_spark.operators.export import write_ntriples
+from ldtab_clj_spark.plans.pipeline import build_statements
+from ldtab_clj_spark.sources.ntriples import import_ntriples, parse_nt_line
+from ldtab_clj_spark.synth import entity_dictionary, synth_docs
+
+PREFIXES = [("ex", "http://example.com/"),
+            ("rdf", "http://www.w3.org/1999/02/22-rdf-syntax-ns#"),
+            ("rdfs", "http://www.w3.org/2000/01/rdf-schema#"),
+            ("owl", "http://www.w3.org/2002/07/owl#"),
+            ("xsd", "http://www.w3.org/2001/XMLSchema#")]
+
+
+@pytest.fixture(scope="module")
+def prefix_df(spark):
+    return spark.createDataFrame(PREFIXES, "prefix string, base string")
+
+
+def test_parse_nt_line_variants():
+    iri = parse_nt_line(
+        "<http://example.com/a> <http://example.com/p> "
+        "<http://example.com/b> .", PREFIXES)
+    assert iri == ("ex:a", "ex:p", "ex:b", "_IRI", False, False)
+    lang = parse_nt_line(
+        '<http://example.com/a> '
+        '<http://www.w3.org/2000/01/rdf-schema#label> "café"@en .',
+        PREFIXES)
+    assert lang == ("ex:a", "rdfs:label", "café", "@en", False, False)
+    typed = parse_nt_line(
+        '_:b1 <http://example.com/n> '
+        '"5"^^<http://www.w3.org/2001/XMLSchema#int> .', PREFIXES)
+    assert typed == ("_:b1", "ex:n", "5", "xsd:int", True, False)
+    esc = parse_nt_line(
+        '<http://x.org/a> <http://x.org/p> "l1\\nl2\\t\\"q\\"" .',
+        PREFIXES)
+    assert esc[2] == 'l1\nl2\t"q"'
+    assert esc[0] == "<http://x.org/a>"  # unmatched base → wrapped
+    assert parse_nt_line("# comment", PREFIXES) is None
+    assert parse_nt_line("", PREFIXES) is None
+    assert parse_nt_line("garbage line", PREFIXES) is None
+
+
+def test_blank_components_closure(spark):
+    # chain _:a → _:b → _:c plus a separate _:x; ground triple apart
+    rows = [
+        ("_:a", "ex:p", "_:b", "_JSONMAP", True, True, "", 0),
+        ("_:b", "ex:p", "_:c", "_JSONMAP", True, True, "", 0),
+        ("_:x", "ex:p", "ex:o", "_IRI", True, False, "", 0),
+        ("ex:s", "ex:p", "ex:o", "_IRI", False, False, "", 0),
+    ]
+    from ldtab_clj_spark.schemas import THIN
+    thin = spark.createDataFrame(rows, THIN)
+    comp = {r.blank: r.component for r in blank_components(thin).collect()}
+    assert comp["_:a"] == comp["_:b"] == comp["_:c"] == "_:a"
+    assert comp["_:x"] == "_:x"
+    grouped = assign_components(thin)
+    keys = {r.subject: r.doc_id for r in grouped.collect()}
+    assert keys["_:a"] == keys["_:b"] == "_:a"
+    assert keys["ex:s"].startswith("g:")
+
+
+def test_nt_format_roundtrip(spark, tmp_path, prefix_df):
+    docs = synth_docs(spark, 60, seed=13)
+    statements = build_statements(docs, entity_dictionary(spark)) \
+        .localCheckpoint()
+    nt_dir = str(tmp_path / "out_nt")
+    write_ntriples(statements, prefix_df, nt_dir)
+    again = import_ntriples(spark, nt_dir, prefix_df)
+
+    def keys(df):
+        return {(r.subject, r.predicate, r.object, r.datatype,
+                 r.annotation) for r in df.collect()}
+
+    orig, back = keys(statements), keys(again)
+    tp = len(orig & back)
+    p, r = tp / len(back), tp / len(orig)
+    assert p >= 0.95 and r >= 0.95, (p, r, len(orig), len(back),
+                                     list(orig - back)[:3],
+                                     list(back - orig)[:3])
