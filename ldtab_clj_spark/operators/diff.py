@@ -47,16 +47,28 @@ def diff_statements(old: DataFrame, new: DataFrame,
     return added.select(*cols).unionByName(retracted.select(*cols))
 
 
+def _null_safe_on(left: DataFrame, right: DataFrame, cols: list[str]):
+    """Join condition with null-safe equality — `annotation` is
+    nullable, and plain column equality would silently never match
+    bare rows (NULL != NULL in SQL)."""
+    cond = None
+    for c in cols:
+        e = left[c].eqNullSafe(right[c])
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def apply_diff(statements: DataFrame, old: DataFrame, new: DataFrame,
                transaction_id: int) -> DataFrame:
     """Append-only history update (diff.clj:211-224): mark retracted
     rows, append additions."""
     d = diff_statements(old, new, transaction_id)
-    retracted_keys = d.filter(F.col("retraction") > 0).select(*CONTENT_COLS)
-    still_live = statements.join(retracted_keys, on=CONTENT_COLS,
-                                 how="left_anti")
-    marked = (statements.join(retracted_keys, on=CONTENT_COLS,
-                              how="left_semi")
+    retracted_keys = (d.filter(F.col("retraction") > 0)
+                      .select(*CONTENT_COLS).alias("rk"))
+    st = statements.alias("st")
+    cond = _null_safe_on(st, retracted_keys, CONTENT_COLS)
+    still_live = st.join(retracted_keys, cond, "left_anti")
+    marked = (st.join(retracted_keys, cond, "left_semi")
               .withColumn("retraction",
                           F.lit(transaction_id).cast("long")))
     additions = d.filter(F.col("assertion") == transaction_id)

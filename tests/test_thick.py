@@ -258,3 +258,60 @@ def test_roundtrip_all_fixtures():
         original = rows(fixture)
         again = roundtrip(original)
         assert canon_set(again) == canon_set(original), fixture
+
+
+# -- annotated GCI (gci_handling.clj:64-85) ---------------------------------
+
+GCI_ANNOTATED = [
+    # owl:Axiom whose annotatedSource is a compound class expression
+    # carrying rdfs:subClassOf
+    t("_:ax", "rdf:type", "owl:Axiom"),
+    t("_:ax", "owl:annotatedSource", "_:g", "_JSONMAP"),
+    t("_:ax", "owl:annotatedProperty", "rdfs:subClassOf"),
+    t("_:ax", "owl:annotatedTarget", "ex:B"),
+    t("_:ax", "ex:evidence", "ev9"),
+    t("_:g", "rdf:type", "owl:Restriction"),
+    t("_:g", "owl:onProperty", "ex:partOf"),
+    t("_:g", "owl:someValuesFrom", "ex:A"),
+    t("_:g", "rdfs:subClassOf", "ex:B"),
+]
+
+
+def test_annotated_gci():
+    out = rows(GCI_ANNOTATED)
+    gci = [r for r in out if r["annotation"]
+           and r["predicate"] == "rdfs:subClassOf"]
+    assert len(gci) == 1
+    r = gci[0]
+    subj = json.loads(r["subject"])
+    assert "rdfs:subClassOf" not in subj
+    assert "owl:someValuesFrom" in subj
+    assert r["object"] == "ex:B"
+    ann = json.loads(r["annotation"])
+    assert ann["ex:evidence"][0]["meta"] == "owl:Axiom"
+
+
+# -- history update: apply_diff + replay consistency ------------------------
+
+def test_apply_diff_replay(spark):
+    from ldtab_clj_spark.operators.diff import (apply_diff, current_state,
+                                                CONTENT_COLS)
+    from ldtab_clj_spark.schemas import STATEMENT
+    base = spark.createDataFrame(
+        [(1, 0, "graph", f"ex:s{i}", "ex:p", f"o{i}", "xsd:string", None)
+         for i in range(10)], STATEMENT)
+    new = spark.createDataFrame(
+        # drop s0/s1, keep 2-9, add s10/s11
+        [(0, 0, "graph", f"ex:s{i}", "ex:p", f"o{i}", "xsd:string", None)
+         for i in range(2, 12)], STATEMENT).select(*CONTENT_COLS)
+    updated = apply_diff(base, base.select(*CONTENT_COLS), new, 2)
+    live_now = {r.subject for r in
+                current_state(updated, at_transaction=2).collect()}
+    assert live_now == {f"ex:s{i}" for i in range(2, 12)}
+    live_before = {r.subject for r in
+                   current_state(updated, at_transaction=1).collect()}
+    assert live_before == {f"ex:s{i}" for i in range(10)}
+    # retracted rows keep their content with retraction=2 (diff.clj:82-93)
+    retracted = {r.subject for r in
+                 updated.filter("retraction = 2").collect()}
+    assert retracted == {"ex:s0", "ex:s1"}
