@@ -44,6 +44,10 @@ def main() -> None:
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     timings: dict[str, float] = {}
 
+    # warm the JVM + Python workers (cold-start excluded, as in
+    # tools/bench_scaling.py)
+    run_pipeline(spark, n_docs=200, seed=1).count()
+
     # flagship: KG pipeline; throughput = statement rows / sec
     t0 = time.perf_counter()
     n_rows = run_pipeline(spark, n_docs=N_DOCS, seed=42).count()

@@ -1,0 +1,163 @@
+"""CLI — the `ldtab` command surface (reference: src/ldtab/cli.clj).
+
+A "database" is a directory of parquet tables (the SQLite-file analog):
+
+    DB/statement/   thick-triple table (init.clj:4-14)
+    DB/prefix/      prefix table (init.clj:22-24)
+    DB/ldtab/       key-value metadata (init.clj:18-20,34-35)
+
+Subcommands (cli.clj:336-344 dispatch):
+
+    python -m ldtab_clj_spark init DB
+    python -m ldtab_clj_spark prefix DB prefix.tsv
+    python -m ldtab_clj_spark import DB INPUT [--streaming] [--dict D]
+    python -m ldtab_clj_spark export DB OUT.(tsv|nt) [--sort]
+    python -m ldtab_clj_spark diff DB NEW.tsv
+
+INPUT is a docs parquet dir (doc_id, spans[]) or N-Triples text
+(.nt file/dir). Export format picked by extension (cli.clj:50-52).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from . import __version__
+from .schemas import DOCS, PREFIX, STATEMENT
+
+
+def _spark() -> SparkSession:
+    from .session import get_spark
+    return get_spark("ldtab-cli")
+
+
+def _statement_path(db: str) -> str:
+    return str(Path(db) / "statement")
+
+
+def cmd_init(args) -> int:
+    spark = _spark()
+    db = Path(args.db)
+    if (db / "ldtab").exists():
+        print(f"error: {args.db} already initialized", file=sys.stderr)
+        return 1
+    spark.createDataFrame([], STATEMENT).write.parquet(_statement_path(args.db))
+    spark.createDataFrame([], PREFIX).write.parquet(str(db / "prefix"))
+    # metadata rows (init.clj:34-35)
+    spark.createDataFrame(
+        [("ldtab version", __version__), ("schema version", "1")],
+        "key string, value string").write.parquet(str(db / "ldtab"))
+    print(f"initialized {args.db}")
+    return 0
+
+
+def cmd_prefix(args) -> int:
+    spark = _spark()
+    from .operators.export import read_prefix_tsv
+    read_prefix_tsv(spark, args.tsv).write.mode("overwrite") \
+        .parquet(str(Path(args.db) / "prefix"))
+    print(f"loaded prefixes into {args.db}")
+    return 0
+
+
+def cmd_import(args) -> int:
+    spark = _spark()
+    prefix_df = spark.read.parquet(str(Path(args.db) / "prefix"))
+    if args.input.rstrip("/").endswith(".nt") or args.nt:
+        from .sources.ntriples import import_ntriples
+        statements = import_ntriples(spark, args.input, prefix_df)
+    else:
+        docs = spark.read.schema(DOCS).parquet(args.input)
+        if args.dict:
+            entity_dict = spark.read.parquet(args.dict)
+        else:
+            from .synth import entity_dictionary
+            entity_dict = entity_dictionary(spark)
+        if args.streaming:
+            from .streaming.pipeline import (read_stream_result,
+                                             run_streaming_import)
+            tmp_table = _statement_path(args.db) + "_stream"
+            q = run_streaming_import(
+                spark, args.input, tmp_table,
+                _statement_path(args.db) + "_ckpt", entity_dict)
+            q.awaitTermination()
+            statements = read_stream_result(spark, tmp_table)
+        else:
+            from .plans.pipeline import build_statements
+            statements = build_statements(docs, entity_dict)
+    from .operators.materialize import write_statements
+    info = write_statements(statements, _statement_path(args.db),
+                            run_id=f"import-{int(time.time())}")
+    print(f"imported {info['rows']} statements "
+          f"({info['partitions']} partitions)")
+    return 0
+
+
+def cmd_export(args) -> int:
+    spark = _spark()
+    statements = spark.read.parquet(_statement_path(args.db))
+    from .operators.export import write_ntriples, write_tsv
+    if args.out.endswith(".tsv"):
+        write_tsv(statements, args.out, sort=args.sort)
+    elif args.out.endswith(".nt") or args.out.endswith(".ttl"):
+        prefix_df = spark.read.parquet(str(Path(args.db) / "prefix"))
+        write_ntriples(statements, prefix_df, args.out)
+    else:
+        print("error: unknown export extension (use .tsv or .nt)",
+              file=sys.stderr)
+        return 1
+    print(f"exported {statements.count()} statements to {args.out}")
+    return 0
+
+
+def cmd_diff(args) -> int:
+    spark = _spark()
+    from .operators.diff import apply_diff, current_state
+    from .operators.export import read_tsv
+    statements = spark.read.parquet(_statement_path(args.db))
+    new = read_tsv(spark, args.new_tsv)
+    tid = int(time.strftime("%Y%m%d%H%M%S"))  # diff.clj:75-80
+    updated = apply_diff(statements, current_state(statements),
+                         new.select("graph", "subject", "predicate",
+                                    "object", "datatype", "annotation"),
+                         tid).localCheckpoint()
+    updated.write.mode("overwrite").parquet(_statement_path(args.db))
+    added = updated.filter(F.col("assertion") == tid).count()
+    retracted = updated.filter(F.col("retraction") == tid).count()
+    print(f"transaction {tid}: +{added} -{retracted}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ldtab_clj_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init");    sp.add_argument("db")
+    sp.set_defaults(fn=cmd_init)
+    sp = sub.add_parser("prefix");  sp.add_argument("db")
+    sp.add_argument("tsv");         sp.set_defaults(fn=cmd_prefix)
+    sp = sub.add_parser("import");  sp.add_argument("db")
+    sp.add_argument("input")
+    sp.add_argument("--streaming", action="store_true")
+    sp.add_argument("--nt", action="store_true")
+    sp.add_argument("--dict")
+    sp.set_defaults(fn=cmd_import)
+    sp = sub.add_parser("export");  sp.add_argument("db")
+    sp.add_argument("out")
+    sp.add_argument("--sort", action="store_true")
+    sp.set_defaults(fn=cmd_export)
+    sp = sub.add_parser("diff");    sp.add_argument("db")
+    sp.add_argument("new_tsv");     sp.set_defaults(fn=cmd_diff)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,7 +69,10 @@ def _resolve_column(df: DataFrame, col: str, head: DataFrame,
 
 def link_entities(thin: DataFrame, entity_dict: DataFrame) -> DataFrame:
     """Resolve subject and object mention placeholders to entity IRIs."""
-    winners = score_candidates(entity_dict)
+    # materialize the (tiny) scored dictionary once — it feeds four
+    # join builds, and recomputing the driver-side createDataFrame +
+    # scoring shuffle per build is pure serial time
+    winners = score_candidates(entity_dict).localCheckpoint()
     head = winners.filter("is_head").select("surface", "entity")
     tail = winners.filter("NOT is_head").select("surface", "entity")
     out = _resolve_column(thin, "subject", head, tail, F.lit(True))

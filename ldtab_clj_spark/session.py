@@ -45,7 +45,7 @@ def get_spark(app_name: str = "ldtab_clj_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transport for pandas UDFs / toPandas
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         # sane scan granularity for the 100 TB case: 128 MB splits
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

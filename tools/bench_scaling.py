@@ -1,7 +1,7 @@
 """Scaling-efficiency evidence (BASELINE.json north_rule).
 
 Runs the SAME KG pipeline on the SAME input at two parallelism levels
-(default local[2] vs local[8] — the sandbox stand-in for N vs 4N
+(default local[1] vs local[4] — the sandbox stand-in for N vs 4N
 executors; synth is partition-count-invariant so inputs are identical)
 in separate JVMs, and reports throughput at both plus scaling
 efficiency = (tput@4N / tput@N) / 4. Appends results to
@@ -43,17 +43,25 @@ print(json.dumps({{"cores": {cores}, "rows": int(rows), "sec": dt,
 PARTS = 64
 
 
+TRIALS = 3  # best-of per core count (de-noise shared-box variance)
+
+
 def run(cores: int, n_docs: int) -> dict:
     code = RUNNER.format(repo=REPO, cores=cores, n_docs=n_docs,
                          parts=PARTS)
-    out = subprocess.run([sys.executable, "-c", code], check=True,
-                         capture_output=True, text=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    best = None
+    for _ in range(TRIALS):
+        out = subprocess.run([sys.executable, "-c", code], check=True,
+                             capture_output=True, text=True)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    return best
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    lo, hi = 2, 8
+    lo, hi = 1, 4
     r_lo, r_hi = run(lo, n_docs), run(hi, n_docs)
     eff = (r_hi["rows_per_sec"] / r_lo["rows_per_sec"]) / (hi / lo)
     result = {"n_docs": n_docs, "low": r_lo, "high": r_hi,
