@@ -380,7 +380,25 @@ def ann_near_dup(spark, sf):
                                  threshold=0.4)
 
 
+def kg_pipeline_statements(spark, sf):
+    """Flagship end-to-end KG construction on the deterministic synth
+    interleaved-docs corpus (no SQL oracle — thin→thick is not
+    SQL-expressible; correctness is pinned by the golden fixtures and
+    the single-node-oracle P/R test instead)."""
+    from .plans.pipeline import run_pipeline
+    return run_pipeline(spark, n_docs=300, seed=42)
+
+
+def kg_roundtrip_reimport(spark, sf):
+    """Export→re-import round trip of the flagship output (rows-only
+    check: row count must equal kg_pipeline_statements')."""
+    from .plans.pipeline import reimport, run_pipeline
+    return reimport(run_pipeline(spark, n_docs=300, seed=42))
+
+
 QUERIES = {
+    "kg_pipeline_statements": kg_pipeline_statements,
+    "kg_roundtrip_reimport": kg_roundtrip_reimport,
     "c2_curify": c2_curify,
     "j6_curie_expand": j6_curie_expand,
     "so5_state_replay": so5_state_replay,
