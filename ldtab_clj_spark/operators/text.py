@@ -71,6 +71,45 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", pred.alias("lang_pred"))
 
 
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bpe_tokens) — BPE-ish pre-tokenization count:
+    alphanumeric runs + individual punctuation/CJK marks (the ASCII
+    character classes behave identically in Java regex and RE2)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(BPE_TOKEN_RE), 0))
+        .alias("n_bpe_tokens"))
+
+
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer et al.): hash every positional word-bigram, take the min
+    hash over each sliding window of WINNOW_WINDOW k-grams, emit the
+    distinct mins. Robust to insertions/reordering at the edges; the
+    standard near-dup fingerprint at corpus scale."""
+    from pyspark.sql import Window
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    kgrams = (docs.select("doc_id",
+                          F.posexplode(bigrams).alias("pos", "kg"))
+              .withColumn("h", F.md5("kg")))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(-(WINNOW_WINDOW - 1), 0))
+    return (kgrams.withColumn("fp", F.min("h").over(w))
+            .select("doc_id", "fp").distinct())
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp) — md5 of the whitespace-normalized, lowercased
     text (the rolling-hash analog, portable across engines)."""

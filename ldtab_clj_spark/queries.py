@@ -274,6 +274,16 @@ def text_fingerprint(spark, sf):
     return fingerprint(load(spark, sf, "documents"))
 
 
+def text_token_bpe(spark, sf):
+    from .operators.text import token_count_bpe
+    return token_count_bpe(load(spark, sf, "documents"))
+
+
+def text_winnow(spark, sf):
+    from .operators.text import winnow_fingerprints
+    return winnow_fingerprints(load(spark, sf, "documents"))
+
+
 def ann_cosine_topk(spark, sf):
     emb = load(spark, sf, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -429,6 +439,8 @@ QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_token_bpe": text_token_bpe,
+    "text_winnow": text_winnow,
     "ann_cosine_topk": ann_cosine_topk,
     "kg_mention_extract": kg_mention_extract,
     "diff_transactions": diff_transactions,
@@ -666,6 +678,20 @@ ORACLE_SQL = {
     "text_fingerprint":
         "SELECT doc_id, md5(regexp_replace(lower(trim(text)), "
         "'\\s+', ' ', 'g')) AS fp FROM documents",
+    "text_token_bpe":
+        "SELECT doc_id, length(regexp_extract_all(text, "
+        "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens "
+        "FROM documents",
+    "text_winnow":
+        "WITH kg AS (SELECT doc_id, i - 1 AS pos, "
+        "md5(w[i] || ' ' || w[i+1]) AS h FROM "
+        "(SELECT doc_id, string_split_regex(trim(text),'\\s+') AS w "
+        "FROM documents), "
+        "unnest(generate_series(1, greatest(len(w)-1, 1))) t(i) "
+        "WHERE w[i+1] IS NOT NULL) "
+        "SELECT DISTINCT doc_id, min(h) OVER "
+        "(PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM kg",
     "ann_cosine_topk":
         "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
         "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
