@@ -49,16 +49,47 @@ def _parse_span(doc_id: str, pos: int, kind: str, text: str,
 
     if kind == "media":
         return [t(f"ex:d{doc_id}", "ex:hasMedia", f"<{media_ref}>")]
-    m = RE_FACT.match(text)
-    if m:
+    # cheap first-word dispatch: each template has a distinctive
+    # prefix, so one regex runs per span instead of six
+    if text.startswith("According to "):
+        m = RE_ANNOT.match(text)
+    elif text.startswith("Group: "):
+        m = RE_GROUP.match(text)
+    elif text.startswith("Rule: "):
+        m = RE_RULE.match(text)
+    elif text.startswith("Every "):
+        m = RE_RESTR.match(text)
+    elif text.endswith('".'):
+        m = RE_LABEL.match(text)
+    else:
+        m = RE_FACT.match(text)
+    if m is None:
+        return _parse_span_slow(doc_id, pos, text)
+    return _build_triples(doc_id, pos, text, m, t)
+
+
+def _parse_span_slow(doc_id: str, pos: int, text: str) -> list[tuple]:
+    """Fallback: try every template (inputs that dodge the prefix
+    dispatch, e.g. hand-written corpora)."""
+    def t(s, p, o, dt="_IRI"):
+        return (s, p, o, dt, s.startswith("_:"),
+                dt == "_JSONMAP" and o.startswith("_:"))
+    for rx in (RE_FACT, RE_LABEL, RE_ANNOT, RE_GROUP, RE_RULE, RE_RESTR):
+        m = rx.match(text)
+        if m:
+            return _build_triples(doc_id, pos, text, m, t)
+    return []
+
+
+def _build_triples(doc_id: str, pos: int, text: str, m, t) -> list[tuple]:
+    rx = m.re
+    if rx is RE_FACT:
         s, v, o = m.groups()
         return [t(_mention(s), f"ex:{v}", _mention(o))]
-    m = RE_LABEL.match(text)
-    if m:
+    if rx is RE_LABEL:
         s, label = m.groups()
         return [t(_mention(s), "rdfs:label", label, "@en")]
-    m = RE_ANNOT.match(text)
-    if m:
+    if rx is RE_ANNOT:
         p, s, v, o = m.groups()
         bn = f"_:d{doc_id}p{pos}a"
         return [t(bn, "owl:annotatedSource", _mention(s)),
@@ -66,8 +97,7 @@ def _parse_span(doc_id: str, pos: int, kind: str, text: str,
                 t(bn, "owl:annotatedTarget", _mention(o)),
                 t(bn, "rdf:type", "owl:Axiom"),
                 t(bn, "ex:assertedBy", p, "xsd:string")]
-    m = RE_GROUP.match(text)
-    if m:
+    if rx is RE_GROUP:
         items = m.group(1).split("; ")
         root = f"_:d{doc_id}p{pos}g"
         out = [t(root, "rdf:type", "owl:AllDisjointClasses"),
@@ -81,16 +111,14 @@ def _parse_span(doc_id: str, pos: int, kind: str, text: str,
             else:
                 out.append(t(cell, "rdf:rest", "rdf:nil"))
         return out
-    m = RE_RULE.match(text)
-    if m:
+    if rx is RE_RULE:
         v, a, b = m.groups()
         bn = f"_:d{doc_id}p{pos}r"
         return [t(bn, "rdf:type", "owl:Restriction"),
                 t(bn, "owl:onProperty", f"ex:{v}"),
                 t(bn, "owl:someValuesFrom", _mention(a)),
                 t(bn, "rdfs:subClassOf", _mention(b))]
-    m = RE_RESTR.match(text)
-    if m:
+    if rx is RE_RESTR:
         a, v, b = m.groups()
         bn = f"_:d{doc_id}p{pos}r"
         return [t(_mention(a), "rdfs:subClassOf", bn, "_JSONMAP"),
