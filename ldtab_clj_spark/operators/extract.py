@@ -30,6 +30,9 @@ RE_LABEL = re.compile(rf'^({_SUR}) is labeled "([^"]+)"\.$')
 RE_ANNOT = re.compile(
     rf"^According to (\w+), ({_SUR}) (contains|powers|resembles) ({_SUR})\.$")
 RE_GROUP = re.compile(r"^Group: (.+) are exclusive\.$")
+RE_REIFY = re.compile(
+    rf"^Allegedly, ({_SUR}) (contains|powers|resembles) ({_SUR}) "
+    rf"\(per (\w+)\)\.$")
 RE_RULE = re.compile(
     rf"^Rule: anything that (contains|powers|resembles) ({_SUR}) is ({_SUR})\.$")
 RE_RESTR = re.compile(
@@ -53,6 +56,8 @@ def _parse_span(doc_id: str, pos: int, kind: str, text: str,
     # prefix, so one regex runs per span instead of six
     if text.startswith("According to "):
         m = RE_ANNOT.match(text)
+    elif text.startswith("Allegedly, "):
+        m = RE_REIFY.match(text)
     elif text.startswith("Group: "):
         m = RE_GROUP.match(text)
     elif text.startswith("Rule: "):
@@ -74,7 +79,8 @@ def _parse_span_slow(doc_id: str, pos: int, text: str) -> list[tuple]:
     def t(s, p, o, dt="_IRI"):
         return (s, p, o, dt, s.startswith("_:"),
                 dt == "_JSONMAP" and o.startswith("_:"))
-    for rx in (RE_FACT, RE_LABEL, RE_ANNOT, RE_GROUP, RE_RULE, RE_RESTR):
+    for rx in (RE_FACT, RE_LABEL, RE_ANNOT, RE_REIFY, RE_GROUP, RE_RULE,
+               RE_RESTR):
         m = rx.match(text)
         if m:
             return _build_triples(doc_id, pos, text, m, t)
@@ -97,6 +103,14 @@ def _build_triples(doc_id: str, pos: int, text: str, m, t) -> list[tuple]:
                 t(bn, "owl:annotatedTarget", _mention(o)),
                 t(bn, "rdf:type", "owl:Axiom"),
                 t(bn, "ex:assertedBy", p, "xsd:string")]
+    if rx is RE_REIFY:
+        s, v, o, p = m.groups()
+        bn = f"_:d{doc_id}p{pos}s"
+        return [t(bn, "rdf:subject", _mention(s)),
+                t(bn, "rdf:predicate", f"ex:{v}"),
+                t(bn, "rdf:object", _mention(o)),
+                t(bn, "rdf:type", "rdf:Statement"),
+                t(bn, "ex:source", p, "xsd:string")]
     if rx is RE_GROUP:
         items = m.group(1).split("; ")
         root = f"_:d{doc_id}p{pos}g"

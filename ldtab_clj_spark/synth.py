@@ -76,10 +76,15 @@ def make_doc_spans(seed: int, doc_id: int, hot_frac: float = 0.0,
             p = rng.choice(PEOPLE)
             s, o = _surface(rng, _zipf_idx(rng)), _surface(rng, _zipf_idx(rng))
             text = f"According to {p}, {s} {rng.choice(VERBS)} {o}."
-        elif roll < 0.88:
+        elif roll < 0.84:
             k = rng.randrange(2, 5)
             items = "; ".join(_surface(rng, _zipf_idx(rng)) for _ in range(k))
             text = f"Group: {items} are exclusive."
+        elif roll < 0.88:
+            p = rng.choice(PEOPLE)
+            s, o = _surface(rng, _zipf_idx(rng)), _surface(rng, _zipf_idx(rng))
+            text = (f"Allegedly, {s} {rng.choice(VERBS)} {o} "
+                    f"(per {p}).")
         elif roll < 0.94:
             a, b = _surface(rng, _zipf_idx(rng)), _surface(rng, _zipf_idx(rng))
             text = f"Rule: anything that {rng.choice(VERBS)} {a} is {b}."
