@@ -91,9 +91,13 @@ def cmd_import(args) -> int:
         else:
             from .plans.pipeline import build_statements
             statements = build_statements(docs, entity_dict)
+    # append into the existing table (the reference inserts into the
+    # statement table, never truncates it); dedup-on-read resolves
+    # duplicates across imports
     from .operators.materialize import write_statements
     info = write_statements(statements, _statement_path(args.db),
-                            run_id=f"import-{int(time.time())}")
+                            run_id=f"import-{int(time.time())}",
+                            mode="append")
     print(f"imported {info['rows']} statements "
           f"({info['partitions']} partitions)")
     return 0

@@ -36,13 +36,24 @@ def blank_components(thin: DataFrame) -> DataFrame:
              .distinct().localCheckpoint())
 
     labels = nodes.withColumn("component", F.col("a")).localCheckpoint()
+    converged = False
     for _ in range(MAX_ROUNDS):
-        # propagate the min label across one hop
+        # propagate the min label across one hop ...
         prop = (edges.join(labels, on="a")
                 .select(F.col("b").alias("a"), "component"))
-        new_labels = (labels.select("a", "component").union(prop)
-                      .groupBy("a")
-                      .agg(F.min("component").alias("component"))
+        hop = (labels.select("a", "component").union(prop)
+               .groupBy("a")
+               .agg(F.min("component").alias("component")))
+        # ... then short-cut: component := label(component) — pointer
+        # doubling makes convergence O(log diameter), so long
+        # rdf:first/rdf:rest chains (unbounded in real ontologies)
+        # don't need diameter-many rounds
+        lut = labels.select(F.col("a").alias("component"),
+                            F.col("component").alias("_parent"))
+        new_labels = (hop.join(lut, on="component", how="left")
+                      .select("a",
+                              F.least("component", "_parent")
+                              .alias("component"))
                       .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), on="a")
@@ -50,7 +61,12 @@ def blank_components(thin: DataFrame) -> DataFrame:
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"blank-node component closure did not converge in "
+            f"{MAX_ROUNDS} rounds — pathological bnode graph")
     return labels.select(F.col("a").alias("blank"), "component")
 
 
@@ -64,14 +80,22 @@ def assign_components(thin: DataFrame) -> DataFrame:
     for operators/stanza.thin_to_thick_df.
     """
     comp = blank_components(thin)
-    bs = comp.withColumnRenamed("blank", "subject") \
-             .withColumnRenamed("component", "_cs")
-    bo = comp.withColumnRenamed("blank", "object") \
-             .withColumnRenamed("component", "_co")
-    # plain left joins: AQE broadcasts the component map when it's
-    # small; at external-RDF scale (billions of bnodes) it must shuffle
-    out = (thin.join(bs, on="subject", how="left")
-           .join(bo, on="object", how="left"))
+    bs = comp.select(F.col("blank").alias("_sk"),
+                     F.col("component").alias("_cs"))
+    bo = comp.select(F.col("blank").alias("_ok"),
+                     F.col("component").alias("_co"))
+    # join keys are masked by the blank flags so a LITERAL whose
+    # lexical form looks like "_:b1" can never hijack a blank node's
+    # component. Plain left joins: AQE broadcasts the component map
+    # when small; at external-RDF scale (billions of bnodes) it shuffles
+    out = (thin
+           .withColumn("_sk", F.when(F.col("is_blank_s"),
+                                     F.col("subject")))
+           .withColumn("_ok", F.when(F.col("is_blank_o"),
+                                     F.col("object")))
+           .join(bs, on="_sk", how="left")
+           .join(bo, on="_ok", how="left")
+           .drop("_sk", "_ok"))
     ground_key = F.concat(F.lit("g:"), F.md5(F.concat_ws(
         "\x1f", "subject", "predicate", "object", "datatype")))
     return (out.withColumn(

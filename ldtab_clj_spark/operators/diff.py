@@ -65,12 +65,18 @@ def apply_diff(statements: DataFrame, old: DataFrame, new: DataFrame,
     d = diff_statements(old, new, transaction_id)
     retracted_keys = (d.filter(F.col("retraction") > 0)
                       .select(*CONTENT_COLS).alias("rk"))
-    st = statements.alias("st")
-    cond = _null_safe_on(st, retracted_keys, CONTENT_COLS)
-    still_live = st.join(retracted_keys, cond, "left_anti")
-    marked = (st.join(retracted_keys, cond, "left_semi")
+    # only LIVE rows can be retracted — historical rows (retraction>0)
+    # must keep their original retraction ids or state replay at past
+    # transactions reports wrong sets
+    historical = statements.filter(F.col("retraction") > 0)
+    live = statements.filter(F.col("retraction") == 0).alias("st")
+    cond = _null_safe_on(live, retracted_keys, CONTENT_COLS)
+    still_live = live.join(retracted_keys, cond, "left_anti")
+    marked = (live.join(retracted_keys, cond, "left_semi")
               .withColumn("retraction",
                           F.lit(transaction_id).cast("long")))
+    still_live = still_live.unionByName(
+        historical.select(*still_live.columns))
     additions = d.filter(F.col("assertion") == transaction_id)
     cols = ["assertion", "retraction", *CONTENT_COLS]
     return (still_live.select(*cols)

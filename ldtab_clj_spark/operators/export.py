@@ -35,6 +35,15 @@ def escape_tsv(col):
     return F.regexp_replace(out, r"\t", r"\\t")
 
 
+def unescape_tsv(col):
+    """Inverse of escape_tsv so TSV → statement rows round-trips
+    (read side; the reference compares escaped forms on both sides,
+    we restore the canonical stored form instead)."""
+    out = F.replace(col, F.lit("\\n"), F.lit("\n"))
+    out = F.replace(out, F.lit("\\r"), F.lit("\r"))
+    return F.replace(out, F.lit("\\t"), F.lit("\t"))
+
+
 def write_tsv(statements: DataFrame, path: str, sort: bool = False) -> None:
     """K2: TSV export sink. ``sort`` = reference --sort flag
     (lexicographic; a global range-partitioned sort in Spark)."""
@@ -57,8 +66,12 @@ def read_tsv(spark, path: str) -> DataFrame:
     return df.select(
         F.col("assertion").cast("long"),
         F.col("retraction").cast("long"),
-        "graph", "subject", "predicate", "object", "datatype",
-        "annotation")
+        "graph",
+        unescape_tsv(F.col("subject")).alias("subject"),
+        unescape_tsv(F.col("predicate")).alias("predicate"),
+        unescape_tsv(F.col("object")).alias("object"),
+        "datatype",
+        unescape_tsv(F.col("annotation")).alias("annotation"))
 
 
 def read_prefix_tsv(spark, path: str) -> DataFrame:

@@ -31,22 +31,25 @@ def dedup_statements(statements: DataFrame) -> DataFrame:
     the bare row when none exist. Equivalent to
     dropDuplicates(all) + drop-bare-if-annotated, at half the
     shuffles; upstream is consumed exactly once."""
-    keys = ["graph", "subject", "predicate", "object", "datatype"]
+    # assertion/retraction are part of the group key: rows from
+    # DIFFERENT transactions are distinct history, never merged (the
+    # bare-vs-annotated rule only applies within one import, where all
+    # rows share a transaction — import.clj:202 hard-codes it)
+    keys = ["assertion", "retraction", "graph", "subject", "predicate",
+            "object", "datatype"]
     g = statements.groupBy(*keys).agg(
-        F.min("assertion").alias("assertion"),
-        F.min("retraction").alias("retraction"),
         F.collect_set("annotation").alias("_anns"))
     ann = F.explode(
         F.when(F.size("_anns") > 0, F.col("_anns"))
         .otherwise(F.array(F.lit(None).cast("string"))))
-    return g.select("assertion", "retraction", *keys,
-                    ann.alias("annotation")) \
+    return g.select(*keys, ann.alias("annotation")) \
             .select(*STATEMENT_COLS)
 
 
 def write_statements(statements: DataFrame, path: str,
                      partitions: int | None = None,
-                     run_id: str = "run-1") -> dict:
+                     run_id: str = "run-1",
+                     mode: str = "overwrite") -> dict:
     """Subject-hash-partitioned parquet write + lineage sidecar.
 
     Returns the lineage summary. On Iceberg this would be
@@ -55,7 +58,7 @@ def write_statements(statements: DataFrame, path: str,
     """
     df = statements.repartition(partitions, "subject") if partitions \
         else statements.repartition("subject")
-    df.write.mode("overwrite").parquet(path)
+    df.write.mode(mode).parquet(path)
 
     spark = statements.sparkSession
     written = spark.read.parquet(path)

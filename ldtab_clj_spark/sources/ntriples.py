@@ -35,7 +35,15 @@ _UNESCAPE = {"\\n": "\n", "\\r": "\r", "\\t": "\t",
 
 
 def _unescape(s: str) -> str:
-    return re.sub(r'\\[nrt"\\]', lambda m: _UNESCAPE[m.group(0)], s)
+    """N-Triples string unescaping incl. \\uXXXX / \\UXXXXXXXX numeric
+    escapes (canonical NT tooling escapes all non-ASCII)."""
+    def sub(m):
+        tok = m.group(0)
+        if tok in _UNESCAPE:
+            return _UNESCAPE[tok]
+        return chr(int(tok[2:], 16))
+    return re.sub(r'\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\[nrt"\\]',
+                  sub, s)
 
 
 def parse_nt_line(line: str, prefixes: list[tuple[str, str]]):

@@ -69,8 +69,10 @@ def associate_annotations(key: Tuple[Any, ...],
             else:
                 bare_held, assertion, retraction = \
                     True, r["assertion"], r["retraction"]
-    if saw_annotation:
-        bare_held = False  # annotated twin supersedes any held bare row
+    if saw_annotation or seen:
+        # annotated twin supersedes the bare row — whether it arrived
+        # in this batch or any earlier one (the `seen` state)
+        bare_held = False
     if bare_held or seen:
         state.update((bare_held, int(assertion), int(retraction),
                       "\x1e".join(sorted(seen))))

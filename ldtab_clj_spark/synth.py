@@ -31,11 +31,6 @@ LABEL_WORDS = ("amber", "cobalt", "crimson", "ivory", "jade", "onyx",
                "pearl", "slate")
 
 
-def _zipf_idx(rng: random.Random, n: int = N_ENTITIES) -> int:
-    """Bounded log-uniform index: heavy head, long tail."""
-    return int((n + 1) ** rng.random()) - 1
-
-
 def _surface(rng: random.Random, idx: int) -> str:
     """Two alias surface forms per entity — linking is a real lookup,
     not a string rewrite."""

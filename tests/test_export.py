@@ -33,8 +33,13 @@ def test_tsv_roundtrip_with_escaping(spark, tmp_path, statements):
     write_tsv(df, out, sort=True)
     back = read_tsv(spark, out)
     assert back.count() == df.count()
+    # true round trip: escape on write, unescape on read
     esc = back.filter(F.col("predicate") == "rdfs:comment").collect()[0]
-    assert esc.object == r"line1\nline2\tend"
+    assert esc.object == "line1\nline2\tend"
+    # on-disk form carries the literal escapes (export.clj:17-29)
+    import glob
+    raw = "".join(open(f).read() for f in glob.glob(out + "/part-*"))
+    assert r"line1\nline2\tend" in raw
 
 
 def test_distributed_roundtrip_pr(statements):

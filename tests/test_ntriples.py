@@ -84,3 +84,25 @@ def test_nt_format_roundtrip(spark, tmp_path, prefix_df):
     assert p >= 0.95 and r >= 0.95, (p, r, len(orig), len(back),
                                      list(orig - back)[:3],
                                      list(back - orig)[:3])
+
+
+def test_parse_unicode_escapes():
+    t = parse_nt_line(
+        '<http://example.com/a> <http://example.com/p> '
+        '"caf\\u00E9 \\U0001F600" .', PREFIXES)
+    assert t[2] == "café 😀"
+
+
+def test_literal_that_looks_like_blank_label(spark):
+    """Regression: a literal "_:b1" must not hijack the real blank
+    node _:b1's component."""
+    from ldtab_clj_spark.schemas import THIN
+    rows = [
+        ("_:b1", "ex:p", "ex:o", "_IRI", True, False, "", 0),
+        ("ex:s", "ex:note", "_:b1", "xsd:string", False, False, "", 0),
+    ]
+    thin = spark.createDataFrame(rows, THIN)
+    grouped = {r.subject: r.doc_id
+               for r in assign_components(thin).collect()}
+    assert grouped["_:b1"] == "_:b1"
+    assert grouped["ex:s"].startswith("g:")  # ground singleton

@@ -315,3 +315,37 @@ def test_apply_diff_replay(spark):
     retracted = {r.subject for r in
                  updated.filter("retraction = 2").collect()}
     assert retracted == {"ex:s0", "ex:s1"}
+
+
+def test_apply_diff_preserves_history_on_readd_retract(spark):
+    """Regression: re-adding and re-retracting the same content must
+    not rewrite PRIOR retraction ids (only live rows are markable)."""
+    from ldtab_clj_spark.operators.diff import (CONTENT_COLS, apply_diff,
+                                                current_state)
+    from ldtab_clj_spark.schemas import STATEMENT
+    x = ("graph", "ex:x", "ex:p", "v", "xsd:string", None)
+    # history: added t1, retracted t2, re-added t3 (live)
+    hist = spark.createDataFrame(
+        [(1, 2, *x), (3, 0, *x)], STATEMENT)
+    empty = spark.createDataFrame([], STATEMENT).select(*CONTENT_COLS)
+    # t4: retract again (new state = empty)
+    updated = apply_diff(hist, current_state(hist), empty, 4)
+    rows = {(r.assertion, r.retraction) for r in updated.collect()}
+    assert rows == {(1, 2), (3, 4)}  # t2 retraction untouched
+    assert {r.subject for r in
+            current_state(updated, at_transaction=2).collect()} == set()
+    assert {r.subject for r in
+            current_state(updated, at_transaction=3).collect()} == {"ex:x"}
+
+
+def test_dedup_preserves_history_rows(spark):
+    """Regression: dedup must never merge rows from different
+    transactions (min(assertion)+min(retraction) would resurrect
+    retracted content)."""
+    from ldtab_clj_spark.operators.materialize import dedup_statements
+    from ldtab_clj_spark.schemas import STATEMENT
+    x = ("graph", "ex:y", "ex:p", "v", "xsd:string", None)
+    df = spark.createDataFrame([(1, 5, *x), (7, 0, *x)], STATEMENT)
+    rows = {(r.assertion, r.retraction) for r in
+            dedup_statements(df).collect()}
+    assert rows == {(1, 5), (7, 0)}
