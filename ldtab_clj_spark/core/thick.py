@@ -162,7 +162,12 @@ def thin_to_thick_raw(triples: list[dict]) -> list[dict]:
 
 def split_existential_blanknode_encoding(triples: list[dict]) -> list[dict]:
     """Split single-triple wiring rows back into component triples
-    (thin2thick.clj:145-166); their subject stays the skolem IRI."""
+    (thin2thick.clj:145-166); their subject stays the skolem IRI.
+
+    Inherited reference flaw, preserved for parity: only the FIRST
+    value per predicate survives the split (``(first v)`` at
+    thin2thick.clj:151-156) — a multi-valued predicate on an
+    existential blank root loses its extra values on import."""
     out, wiring = [], []
     for t in triples:
         (wiring if is_wiring_blanknode(t.get("subject")) else out).append(t)
@@ -183,9 +188,24 @@ def thin_to_thick(triples: list[dict]) -> list[dict]:
     """Full rewrite chain in reference order (thin2thick.clj:302-333):
     raw collapse → GCI → annotation/reification → RDF lists →
     canonical sort → skolem rehash → existential split."""
+    def _maybe_fold(t: dict) -> dict:
+        """Fold only well-formed reification maps; a literal/IRI object
+        under an owl:Axiom-style predicate, or an incomplete
+        reification bnode, keeps the original triple. (The reference
+        returns nil here — annotation_handling.clj:145-166 cond falls
+        through — and would NPE downstream; we degrade gracefully.)"""
+        obj = t.get("object")
+        if not isinstance(obj, dict):
+            return t
+        folded = encode_raw_annotation_map(obj)
+        if isinstance(folded, dict) and "subject" in folded \
+                and folded.get("subject") is not None:
+            return folded
+        return t
+
     raw = thin_to_thick_raw(triples)
     gcis = [encode_raw_gci_map(t) for t in raw]
-    anns = [encode_raw_annotation_map(t["object"])
+    anns = [_maybe_fold(t)
             if t.get("predicate") in _ANNOTATION_PREDICATES else t
             for t in gcis]
     lists = [encode_rdf_list(t) for t in anns]

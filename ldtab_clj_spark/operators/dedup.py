@@ -45,7 +45,10 @@ def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     semi-join candidate generation); exact at test scale, superseded by
     MinHash LSH at 100 TB.
     """
-    words = doc_words(docs, text_col).cache()
+    # no cache(): both consumers (sizes, the self-join) reuse the same
+    # shuffle output, and a pinned copy would leak storage memory in
+    # long-lived sessions
+    words = doc_words(docs, text_col)
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = words.alias("a")
     b = words.alias("b")

@@ -25,13 +25,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT = 16
-UNLINKED = "ex:UNLINKED"
+
+
+def unlinked(surface_col):
+    """Unresolvable mentions keep their surface form in a typed IRI —
+    collapsing them to one constant node would merge distinct unknown
+    entities and fabricate edges between them."""
+    return F.concat(F.lit("<unlinked:"), surface_col, F.lit(">"))
 
 
 def score_candidates(entity_dict: DataFrame) -> DataFrame:
     """Candidate table → one winning entity per surface (+head flag)."""
+    # tiebreak on entity id: max_by over bare score is nondeterministic
+    # under ties (partitioning-dependent), which would break run-to-run
+    # reproducibility of every downstream content hash
     return entity_dict.groupBy("surface").agg(
-        F.max_by("entity", "score").alias("entity"),
+        F.max_by("entity", F.struct("score", "entity")).alias("entity"),
         F.max("is_head").alias("is_head"),
     )
 
@@ -62,7 +71,8 @@ def _resolve_column(df: DataFrame, col: str, head: DataFrame,
     df = df.join(tail_k, on=["_surf", "_salt"], how="left")
 
     resolved = F.when(F.col("_surf").isNull(), F.col(col)) \
-        .otherwise(F.coalesce("_head_ent", "_tail_ent", F.lit(UNLINKED)))
+        .otherwise(F.coalesce(F.col("_head_ent"), F.col("_tail_ent"),
+                              unlinked(F.col("_surf"))))
     return (df.withColumn(col, resolved)
             .drop("_surf", "_salt", "_head_ent", "_tail_ent"))
 

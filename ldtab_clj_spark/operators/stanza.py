@@ -35,7 +35,7 @@ def _partition_stanzas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         return
     pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
     pdf = pdf.sort_values(["doc_id", "span_order", "subject", "predicate",
-                           "object"], kind="mergesort")
+                           "object", "datatype"], kind="mergesort")
     # zip over raw column arrays + run-length grouping on the sorted
     # doc_id column: ~5× cheaper than pandas per-group dispatch
     cols = [pdf[c].to_numpy() for c in ("doc_id", *_THIN_COLS)]

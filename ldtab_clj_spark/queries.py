@@ -347,7 +347,6 @@ def j6_curie_expand(spark, sf):
     n = load(spark, sf, "nation")
     curies = (n.select(F.concat(F.lit("ex:nation/"), F.col("n_name"))
                        .alias("curie"))
-              .union(n.limit(0).select(F.lit("rdf:type").alias("curie")))
               .union(spark.createDataFrame(
                   [("rdf:type",), ("owl:Class",), ("<http://raw/x>",)],
                   "curie string")))

@@ -33,7 +33,7 @@ def oracle_statements():
 
     def link(v, dt):
         if v.startswith("surface:") and dt == "_IRI":
-            return dictionary.get(v[8:], "ex:UNLINKED")
+            return dictionary.get(v[8:], f"<unlinked:{v[8:]}>")
         return v
 
     rows = []
