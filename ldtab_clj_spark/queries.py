@@ -234,6 +234,52 @@ def tpch_q5(spark, sf):
             .agg(_revenue_sum()))
 
 
+def tpch_q6(spark, sf):
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg((F.sum(_cents("l_extendedprice")
+                         * _cents("l_discount")) / 10000.0)
+                  .alias("revenue"))
+
+
+def tpch_q12(spark, sf):
+    """Shipmode-style case-count aggregation (q12 shape over the
+    columns this schema has: order priority classes per status)."""
+    o = load(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line")))
+
+
+def tpch_q14(spark, sf):
+    """Promo revenue share (q14 shape: brand-class share of revenue)."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-06-01"))
+    p = load(spark, sf, "part")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    promo = F.when(F.col("p_brand") == "Brand#1", rev).otherwise(0)
+    return (li.join(F.broadcast(p),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .agg((F.sum(promo) * 100.0 / F.sum(rev))
+                 .alias("promo_share")))
+
+
+def events_hourly_window(spark, sf):
+    """Tumbling-window aggregation over the events stream table (the
+    batch shape of streaming/windows.py)."""
+    e = load(spark, sf, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                      "event_type")
+            .agg(F.count("*").alias("n"),
+                 (F.sum(F.round(F.col("value") * 10000, 0).cast("long"))
+                  / 10000.0).alias("sum_value")))
+
+
 # ----------------------------------------------------- dedup/text/simsearch
 
 def dedup_exact(spark, sf):
@@ -429,6 +475,10 @@ QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6,
+    "tpch_q12": tpch_q12,
+    "tpch_q14": tpch_q14,
+    "events_hourly_window": events_hourly_window,
     "dedup_exact": dedup_exact,
     "dedup_word_jaccard": dedup_word_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -617,6 +667,33 @@ ORACLE_SQL = {
         "JOIN nation ON s_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
         "WHERE r_name = 'ASIA' GROUP BY n_name",
+    "tpch_q6":
+        f"SELECT sum({_CENTS_PRICE} * "
+        "CAST(round(l_discount * 100, 0) AS BIGINT)) / 10000.0 "
+        "AS revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 "
+        "AND l_quantity < 24",
+    "tpch_q12":
+        "SELECT o_orderstatus, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END) AS high_line, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 0 ELSE 1 END) AS low_line "
+        "FROM orders GROUP BY o_orderstatus",
+    "tpch_q14":
+        f"SELECT sum(CASE WHEN p_brand = 'Brand#1' THEN {_CENTS_REVENUE} "
+        "ELSE 0 END) * 100.0 "
+        f"/ sum({_CENTS_REVENUE}) AS promo_share "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-06-01'",
+    "events_hourly_window":
+        "SELECT date_trunc('hour', ts) AS hour, event_type, "
+        "count(*) AS n, "
+        "sum(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0 "
+        "AS sum_value FROM events GROUP BY 1, 2",
     "dedup_exact":
         "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
         "count(*) AS dupes FROM documents GROUP BY md5(text)",
