@@ -82,10 +82,14 @@ def cmd_import(args) -> int:
         if args.streaming:
             from .streaming.pipeline import (read_stream_result,
                                              run_streaming_import)
-            tmp_table = _statement_path(args.db) + "_stream"
+            # fresh tmp table + checkpoint per run: re-using them would
+            # re-append everything already imported by earlier runs
+            run_tag = f"_stream_{int(time.time())}"
+            tmp_table = _statement_path(args.db) + run_tag
             q = run_streaming_import(
                 spark, args.input, tmp_table,
-                _statement_path(args.db) + "_ckpt", entity_dict)
+                _statement_path(args.db) + run_tag + "_ckpt",
+                entity_dict)
             q.awaitTermination()
             statements = read_stream_result(spark, tmp_table)
         else:
@@ -103,9 +107,17 @@ def cmd_import(args) -> int:
     return 0
 
 
+def _read_db(spark, db: str):
+    """Dedup-on-read: the statement table is append-only, so duplicate
+    rows from repeated/replayed imports are resolved here (the contract
+    every reader must apply)."""
+    from .operators.materialize import dedup_statements
+    return dedup_statements(spark.read.parquet(_statement_path(db)))
+
+
 def cmd_export(args) -> int:
     spark = _spark()
-    statements = spark.read.parquet(_statement_path(args.db))
+    statements = _read_db(spark, args.db)
     from .operators.export import write_ntriples, write_tsv
     if args.out.endswith(".tsv"):
         write_tsv(statements, args.out, sort=args.sort)
@@ -124,7 +136,7 @@ def cmd_diff(args) -> int:
     spark = _spark()
     from .operators.diff import apply_diff, current_state
     from .operators.export import read_tsv
-    statements = spark.read.parquet(_statement_path(args.db))
+    statements = _read_db(spark, args.db)
     new = read_tsv(spark, args.new_tsv)
     tid = int(time.strftime("%Y%m%d%H%M%S"))  # diff.clj:75-80
     updated = apply_diff(statements, current_state(statements),

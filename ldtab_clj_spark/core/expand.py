@@ -135,9 +135,9 @@ def expand_statement_row(row: dict) -> list[dict]:
     rows drop their base triple (the skolem is synthetic) but are
     handled by ``merge_existential_rows`` upstream when multi-row.
     """
-    key = "|".join(str(row.get(k)) for k in
-                   ("subject", "predicate", "object", "datatype",
-                    "annotation"))
+    key = "\x1f".join(str(row.get(k)) for k in
+                      ("subject", "predicate", "object", "datatype",
+                       "annotation"))
     ex = _Expander(key)
 
     subject_json = parse_json_tolerant(row["subject"])
@@ -163,9 +163,16 @@ def expand_statement_row(row: dict) -> list[dict]:
 
 
 def merge_existential_rows(rows: list[dict]) -> list[dict]:
-    """Merge multi-row wiring-blanknode subjects back into one raw
+    """Merge wiring-blanknode subject rows back into one raw
     ``_JSONMAP`` row with predicate "unknown" (thick_rdf.clj:176-193);
-    must run over a whole group of rows sharing the skolem subject."""
+    must run over a whole group of rows sharing the skolem subject.
+
+    Deviation from the reference: single-row groups are merged too —
+    the reference passes them through (count > 1 filter at
+    thick_rdf.clj:181) and then drops their base triple at
+    thick_rdf.clj:213-215, so a single-predicate existential blank
+    root silently vanishes from its own export. Merging the singleton
+    round-trips it to the identical skolem row instead."""
     by_subject: dict[str, list[dict]] = {}
     passthrough = []
     for r in rows:
@@ -175,9 +182,6 @@ def merge_existential_rows(rows: list[dict]) -> list[dict]:
             passthrough.append(r)
     merged = []
     for subj, group in by_subject.items():
-        if len(group) == 1:
-            passthrough.append(group[0])
-            continue
         pmap = {r["predicate"]:
                 [{"object": parse_json_tolerant(r["object"]),
                   "datatype": r["datatype"]}]

@@ -29,19 +29,26 @@ STATEMENT_COLS = [f.name for f in STATEMENT.fields]
 
 
 def escape_tsv(col):
-    """export.clj:17-29 — literal \\n, \\r, \\t escapes."""
-    out = F.regexp_replace(col, r"\n", r"\\n")
-    out = F.regexp_replace(out, r"\r", r"\\r")
-    return F.regexp_replace(out, r"\t", r"\\t")
+    """export.clj:17-29 escapes \\n/\\r/\\t; we additionally escape the
+    backslash itself — without it, JSON content (which is full of
+    2-char ``\\n`` sequences) is ambiguous with the TSV escapes and the
+    read side corrupts canonical JSON (reference flaw, fixed here)."""
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.replace(out, F.lit("\t"), F.lit("\\t"))
 
 
 def unescape_tsv(col):
-    """Inverse of escape_tsv so TSV → statement rows round-trips
-    (read side; the reference compares escaped forms on both sides,
-    we restore the canonical stored form instead)."""
-    out = F.replace(col, F.lit("\\n"), F.lit("\n"))
+    """Exact inverse of escape_tsv. A sentinel (U+0001, never present
+    in canonical JSON/IRIs) holds escaped backslashes so ``\\\\n``
+    decodes to backslash+n, not to a newline."""
+    s = "\x01"
+    out = F.replace(col, F.lit("\\\\"), F.lit(s))
+    out = F.replace(out, F.lit("\\n"), F.lit("\n"))
     out = F.replace(out, F.lit("\\r"), F.lit("\r"))
-    return F.replace(out, F.lit("\\t"), F.lit("\t"))
+    out = F.replace(out, F.lit("\\t"), F.lit("\t"))
+    return F.replace(out, F.lit(s), F.lit("\\"))
 
 
 def write_tsv(statements: DataFrame, path: str, sort: bool = False) -> None:
@@ -54,14 +61,18 @@ def write_tsv(statements: DataFrame, path: str, sort: bool = False) -> None:
           for c in STATEMENT_COLS])
     if sort:
         df = df.orderBy(*STATEMENT_COLS)
+    # quoting disabled: the reference format is raw TSV (tabs/newlines
+    # already escaped above); CSV quoting would wrap every JSON field
     (df.write.mode("overwrite")
        .option("sep", "\t").option("header", True)
+       .option("quote", "").option("escape", "")
        .option("emptyValue", "").csv(path))
 
 
 def read_tsv(spark, path: str) -> DataFrame:
     """S5: TSV statement source (diff.clj:8-12)."""
     df = (spark.read.option("sep", "\t").option("header", True)
+          .option("quote", "").option("escape", "")
           .csv(path))
     return df.select(
         F.col("assertion").cast("long"),
@@ -98,7 +109,7 @@ def expand_df(statements: DataFrame) -> DataFrame:
             # blank labels are row-content-hash-local (core.expand), so
             # each expanded row is a closed stanza component: its hash
             # becomes the re-import grouping key (doc_id slot)
-            comp = content_hash("|".join(
+            comp = content_hash("\x1f".join(
                 str(r.get(k)) for k in ("subject", "predicate", "object",
                                         "datatype", "annotation")))
             for t in expand_statement_row(r):
@@ -133,7 +144,8 @@ def to_ntriples_lines(statements: DataFrame,
             if dt == "_IRI":
                 return f"<{curie_to_iri(v, prefixes)}>"
             lex = (v.replace("\\", "\\\\").replace('"', '\\"')
-                   .replace("\n", "\\n"))
+                   .replace("\n", "\\n").replace("\r", "\\r")
+                   .replace("\t", "\\t"))
             if dt.startswith("@"):
                 return f'"{lex}"{dt}'
             return f'"{lex}"^^<{curie_to_iri(dt, prefixes)}>'

@@ -23,10 +23,11 @@ LANG_MARKERS = {
 
 
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens) — whitespace tokenization."""
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"))
+    """(doc_id, n_tokens) — whitespace tokenization; empty/blank text
+    counts 0 (split("") yields [""] in both engines otherwise)."""
+    n = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    return docs.select("doc_id", n.alias("n_tokens"))
 
 
 def _count_occurrences(col, needle: str):

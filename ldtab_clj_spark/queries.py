@@ -726,7 +726,8 @@ ORACLE_SQL = {
         "FROM bands a JOIN bands b USING(band, bucket) "
         "WHERE a.doc_id < b.doc_id",
     "text_token_count":
-        "SELECT doc_id, length(string_split_regex(trim(text),'\\s+')) "
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "length(string_split_regex(trim(text),'\\s+')) END "
         "AS n_tokens FROM documents",
     "text_quality":
         "SELECT doc_id, length(text) AS n_chars2, "

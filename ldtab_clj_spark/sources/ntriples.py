@@ -28,9 +28,10 @@ _BLANK = r"(_:[^\s]+)"
 _LIT = r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?'
 NT_LINE = re.compile(
     rf"^\s*(?:{_IRI}|{_BLANK})\s+{_IRI}\s+"
-    rf"(?:{_IRI}|{_BLANK}|{_LIT})\s*\.\s*$")
+    rf"(?:{_IRI}|{_BLANK}|{_LIT})\s*\.\s*(?:#.*)?$")
 
 _UNESCAPE = {"\\n": "\n", "\\r": "\r", "\\t": "\t",
+             "\\b": "\b", "\\f": "\f", "\\'": "'",
              '\\"': '"', "\\\\": "\\"}
 
 
@@ -42,7 +43,7 @@ def _unescape(s: str) -> str:
         if tok in _UNESCAPE:
             return _UNESCAPE[tok]
         return chr(int(tok[2:], 16))
-    return re.sub(r'\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\[nrt"\\]',
+    return re.sub(r'\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\[nrtbf\'"\\]',
                   sub, s)
 
 

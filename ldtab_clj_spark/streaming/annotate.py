@@ -28,6 +28,7 @@ from ..schemas import STATEMENT
 
 STATE_SCHEMA = ("bare_held boolean, assertion bigint, retraction bigint, "
                 "emitted_anns string")
+BARE_HOLD_MS = 5_000  # how long a bare row waits for its annotation
 KEY_COLS = ["graph", "subject", "predicate", "object", "datatype"]
 OUT_COLS = [f.name for f in STATEMENT.fields]
 
@@ -76,9 +77,13 @@ def associate_annotations(key: Tuple[Any, ...],
     if bare_held or seen:
         state.update((bare_held, int(assertion), int(retraction),
                       "\x1e".join(sorted(seen))))
-        # backlog depth: flush a held bare row shortly after
-        # (3-window analog); annotation keys linger for dedup
-        state.setTimeoutDuration(100 if bare_held else 60_000)
+        # backlog depth: flush a held bare row after the hold window
+        # (the 3-window analog of import.clj:133-139). An annotation
+        # arriving even later than this produces a bare+annotated pair
+        # in the raw output — the same terminal state as the
+        # reference's never-stated-annotation tail insert
+        # (import.clj:100-101); table-level dedup-on-read resolves it.
+        state.setTimeoutDuration(BARE_HOLD_MS if bare_held else 60_000)
     if out:
         yield pd.DataFrame(out, columns=OUT_COLS)
 
