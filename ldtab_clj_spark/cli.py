@@ -83,13 +83,15 @@ def cmd_import(args) -> int:
             from .streaming.pipeline import (read_stream_result,
                                              run_streaming_import)
             # fresh tmp table + checkpoint per run: re-using them would
-            # re-append everything already imported by earlier runs
-            run_tag = f"_stream_{int(time.time())}"
-            tmp_table = _statement_path(args.db) + run_tag
+            # re-append everything already imported by earlier runs;
+            # both live under DB/tmp/ and are removed after the final
+            # append succeeds
+            run_tag = f"stream_{int(time.time())}"
+            tmp_dir = Path(args.db) / "tmp"
+            tmp_table = str(tmp_dir / run_tag)
             q = run_streaming_import(
                 spark, args.input, tmp_table,
-                _statement_path(args.db) + run_tag + "_ckpt",
-                entity_dict)
+                str(tmp_dir / (run_tag + "_ckpt")), entity_dict)
             q.awaitTermination()
             statements = read_stream_result(spark, tmp_table)
         else:
@@ -99,11 +101,17 @@ def cmd_import(args) -> int:
     # statement table, never truncates it); dedup-on-read resolves
     # duplicates across imports
     from .operators.materialize import write_statements
+    before = spark.read.parquet(_statement_path(args.db)).count()
     info = write_statements(statements, _statement_path(args.db),
                             run_id=f"import-{int(time.time())}",
                             mode="append")
-    print(f"imported {info['rows']} statements "
-          f"({info['partitions']} partitions)")
+    if args.streaming:
+        import shutil
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    # report the incoming batch, not the post-append table total
+    print(f"imported {info['rows'] - before} statements "
+          f"({info['partitions']} partitions, "
+          f"table total {info['rows']})")
     return 0
 
 

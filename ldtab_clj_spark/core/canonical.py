@@ -105,9 +105,12 @@ def curify_with(uri: str, prefixes: list[tuple[str, str]]) -> str:
             best = (prefix, base)
     if best is None:
         return f"<{uri}>"
-    # reference uses str/replace (all occurrences) — IRIs contain the
-    # base once at the front in practice
-    return uri.replace(best[1], best[0] + ":")
+    # prefix-only substring replacement, consistent with the columnar
+    # path (functions/prefixes.curify_col). The reference's str/replace
+    # replaces ALL occurrences of the base (thin2thick.clj:40), which
+    # corrupts IRIs embedding the base twice (e.g. in a query string) —
+    # deliberately not copied.
+    return best[0] + ":" + uri[len(best[1]):]
 
 
 def curie_to_iri(curie: str, prefix_map: dict[str, str]) -> str:

@@ -676,11 +676,13 @@ ORACLE_SQL = {
         "AND l_discount >= 0.05 AND l_discount <= 0.07 "
         "AND l_quantity < 24",
     "tpch_q12":
+        # CAST: DuckDB's sum(int) is HUGEINT → float64 in pandas; Spark
+        # returns bigint — identical values, different value-hash
         "SELECT o_orderstatus, "
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
-        "THEN 1 ELSE 0 END) AS high_line, "
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
-        "THEN 0 ELSE 1 END) AS low_line "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line "
         "FROM orders GROUP BY o_orderstatus",
     "tpch_q14":
         f"SELECT sum(CASE WHEN p_brand = 'Brand#1' THEN {_CENTS_REVENUE} "

@@ -17,12 +17,27 @@ from pyspark.sql import SparkSession
 
 def _package_zip() -> str:
     """Zip this package for executor shipping — the local-mode
-    equivalent of the north rule's ``spark-submit --py-files``."""
+    equivalent of the north rule's ``spark-submit --py-files``.
+
+    The filename carries a content hash so concurrent sessions (or two
+    checkouts of different code versions on one box) never race on a
+    shared path / ship stale code."""
+    import hashlib
     pkg_root = Path(__file__).resolve().parent
-    out = Path(tempfile.gettempdir()) / "ldtab_clj_spark_pyfiles.zip"
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
-        for py in sorted(pkg_root.rglob("*.py")):
-            zf.write(py, Path("ldtab_clj_spark") / py.relative_to(pkg_root))
+    files = sorted(pkg_root.rglob("*.py"))
+    h = hashlib.sha256()
+    for py in files:
+        h.update(str(py.relative_to(pkg_root)).encode())
+        h.update(py.read_bytes())
+    out = Path(tempfile.gettempdir()) / \
+        f"ldtab_clj_spark_pyfiles_{h.hexdigest()[:12]}.zip"
+    if not out.exists():
+        tmp = out.with_suffix(f".{os.getpid()}.tmp")
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for py in files:
+                zf.write(py,
+                         Path("ldtab_clj_spark") / py.relative_to(pkg_root))
+        tmp.rename(out)  # atomic on POSIX; losers overwrite same bytes
     return str(out)
 
 

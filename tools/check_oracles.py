@@ -62,6 +62,16 @@ def main():
             print(f"FAIL {name}: columns {scols} vs {ocols}")
             failures += 1
             continue
+        # dtype drift (e.g. DuckDB HUGEINT → float64 vs Spark bigint)
+        # breaks the driver's value hash even when values are equal
+        dt_bad = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+                  for c in scols
+                  if sdf[c].dtype.kind != odf[c].dtype.kind
+                  and {sdf[c].dtype.kind, odf[c].dtype.kind} != {"O", "b"}]
+        if dt_bad:
+            print(f"FAIL {name}: dtype drift {dt_bad}")
+            failures += 1
+            continue
         if len(sdf) != len(odf):
             print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}")
             failures += 1
