@@ -12,6 +12,8 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -437,16 +439,17 @@ def ann_near_dup(spark, sf):
 
 def kg_pipeline_statements(spark, sf):
     """Flagship end-to-end KG construction on the deterministic synth
-    interleaved-docs corpus (no SQL oracle — thin→thick is not
-    SQL-expressible; correctness is pinned by the golden fixtures and
-    the single-node-oracle P/R test instead)."""
+    interleaved-docs corpus. Oracle: the single-node reference path
+    (plans/single_node.py) materialized as a parquet fixture by
+    tools/make_kg_fixture.py — DuckDB reads it via read_parquet(), so
+    the driver checks rows+schema+hash, not just row count."""
     from .plans.pipeline import run_pipeline
     return run_pipeline(spark, n_docs=300, seed=42)
 
 
 def kg_roundtrip_reimport(spark, sf):
-    """Export→re-import round trip of the flagship output (rows-only
-    check: row count must equal kg_pipeline_statements')."""
+    """Export→re-import round trip of the flagship output; must equal
+    the same single-node oracle fixture (round trip is lossless)."""
     from .plans.pipeline import reimport, run_pipeline
     return reimport(run_pipeline(spark, n_docs=300, seed=42))
 
@@ -804,3 +807,17 @@ ORACLE_SQL = {
         "CAST(2 AS BIGINT) AS retraction, * FROM "
         "(SELECT * FROM old EXCEPT ALL SELECT * FROM new)",
 }
+
+# Flagship KG-pipeline oracle: the single-node reference path
+# (plans/single_node.py) frozen as a parquet fixture
+# (tools/make_kg_fixture.py, n_docs=300 seed=42) — DuckDB reads it
+# directly, giving the two non-SQL-expressible entries a real
+# rows+schema+hash check. The round trip is lossless, so both queries
+# share the fixture.
+_KG_FIXTURE = Path(__file__).resolve().parent.parent / "tests" / \
+    "fixtures" / "kg_oracle_statements.parquet"
+_KG_ORACLE = ("SELECT assertion, retraction, graph, subject, predicate, "
+              "object, datatype, annotation "
+              f"FROM read_parquet('{_KG_FIXTURE}')")
+ORACLE_SQL["kg_pipeline_statements"] = _KG_ORACLE
+ORACLE_SQL["kg_roundtrip_reimport"] = _KG_ORACLE

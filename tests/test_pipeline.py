@@ -14,45 +14,19 @@ from ldtab_clj_spark.core.expand import (expand_statement_row,
                                          merge_existential_rows)
 from ldtab_clj_spark.core.thick import (drop_superfluous_annotations,
                                         thin_to_thick, to_statement_row)
-from ldtab_clj_spark.operators.extract import _parse_span
 from ldtab_clj_spark.plans.pipeline import build_statements, run_pipeline
-from ldtab_clj_spark.synth import (N_ENTITIES, entity_dictionary,
-                                   make_doc_spans, synth_docs)
+from ldtab_clj_spark.plans.single_node import single_node_statements
+from ldtab_clj_spark.synth import entity_dictionary, make_doc_spans, synth_docs
 
 N_DOCS = 120
 SEED = 42
 
 
 def oracle_statements():
-    """Driver-side single-node reference path (no Spark)."""
-    # surface → winning entity (same argmax-score rule as link.py)
-    dictionary = {}
-    for i in range(N_ENTITIES):
-        for surf in (f"Widget {i}", f"W-{i}"):
-            dictionary[surf] = f"ex:E{i}"
-
-    def link(v, dt):
-        if v.startswith("surface:") and dt == "_IRI":
-            return dictionary.get(v[8:], f"<unlinked:{v[8:]}>")
-        return v
-
-    rows = []
-    for d in range(N_DOCS):
-        doc_id = f"doc-{d:010d}"
-        thin = []
-        for pos, span in enumerate(make_doc_spans(SEED, d)):
-            for s, p, o, dt, bs, bo in _parse_span(
-                    doc_id, pos, span["kind"], span["text"],
-                    span["media_ref"]):
-                s2 = s if bs else link(s, "_IRI")
-                o2 = o if bo else link(o, dt)
-                thin.append({"subject": s2, "predicate": p, "object": o2,
-                             "datatype": dt, "is_blank_s": bs,
-                             "is_blank_o": bo})
-        rows.extend(to_statement_row(t) for t in thin_to_thick(thin))
-    # set semantics + annotation dedup (materialize.py equivalents)
-    uniq = {tuple(sorted(r.items(), key=lambda kv: kv[0])): r for r in rows}
-    return drop_superfluous_annotations(list(uniq.values()))
+    """Driver-side single-node reference path (plans/single_node.py,
+    also frozen as the driver's DuckDB fixture by
+    tools/make_kg_fixture.py)."""
+    return single_node_statements(N_DOCS, SEED)
 
 
 def row_key(r):
