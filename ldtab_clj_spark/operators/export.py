@@ -94,31 +94,37 @@ def read_prefix_tsv(spark, path: str) -> DataFrame:
 def expand_df(statements: DataFrame) -> DataFrame:
     """R10/R11 as a distributed operator: statement rows → thin
     triples (one-to-many, Arrow-batched). Wiring-subject groups are
-    merged first, so the input must be partitioned by subject — the
-    materialized statement table already is; we repartition defensively
-    (wiring groups are 2-5 rows, the shuffle is on short keys)."""
+    merged first, so the input is repartitioned AND sorted by subject —
+    each skolem group arrives as a contiguous run and batches stream
+    through with memory O(Arrow batch + largest group), never
+    O(partition) (wiring groups are 2-5 rows; the sort is JVM-side)."""
+    from .batching import grouped_batches
+    thin_cols = [f.name for f in THIN.fields]
+    emit_every = 20_000
+
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = [p for p in batches if len(p)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True) \
-            if len(parts) > 1 else parts[0]
-        rows = merge_existential_rows(pdf.to_dict("records"))
         out = []
-        for i, r in enumerate(rows):
-            # blank labels are row-content-hash-local (core.expand), so
-            # each expanded row is a closed stanza component: its hash
-            # becomes the re-import grouping key (doc_id slot)
-            comp = content_hash("\x1f".join(
-                str(r.get(k)) for k in ("subject", "predicate", "object",
-                                        "datatype", "annotation")))
-            for t in expand_statement_row(r):
-                out.append((t["subject"], t["predicate"], t["object"],
-                            t["datatype"], t["is_blank_s"],
-                            t["is_blank_o"], comp, 0))
-        yield pd.DataFrame(out, columns=[f.name for f in THIN.fields])
+        for pdf in grouped_batches(batches, "subject"):
+            for r in merge_existential_rows(pdf.to_dict("records")):
+                # blank labels are row-content-hash-local (core.expand),
+                # so each expanded row is a closed stanza component: its
+                # hash becomes the re-import grouping key (doc_id slot)
+                comp = content_hash("\x1f".join(
+                    str(r.get(k)) for k in ("subject", "predicate",
+                                            "object", "datatype",
+                                            "annotation")))
+                for t in expand_statement_row(r):
+                    out.append((t["subject"], t["predicate"], t["object"],
+                                t["datatype"], t["is_blank_s"],
+                                t["is_blank_o"], comp, 0))
+            if len(out) >= emit_every:
+                yield pd.DataFrame(out, columns=thin_cols)
+                out = []
+        if out:
+            yield pd.DataFrame(out, columns=thin_cols)
 
     return (statements.repartition(F.col("subject"))
+            .sortWithinPartitions("subject")
             .mapInPandas(expand, THIN))
 
 

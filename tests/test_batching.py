@@ -1,0 +1,94 @@
+"""Memory-bounded group streaming (operators/batching.py): unit tests
+for the carry-over logic, plus an end-to-end equivalence check that
+stanza assembly and thick→thin expansion produce IDENTICAL output when
+Arrow batches are tiny (forcing groups to straddle batch boundaries)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ldtab_clj_spark.operators.batching import grouped_batches
+
+
+def _frames(rows, sizes):
+    """Split a row list into frames of the given sizes."""
+    out, i = [], 0
+    for n in sizes:
+        out.append(pd.DataFrame(rows[i:i + n], columns=["k", "v"]))
+        i += n
+    assert i == len(rows)
+    return out
+
+
+ROWS = [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5), ("c", 6)]
+
+
+@pytest.mark.parametrize("sizes", [
+    [6], [1, 5], [2, 4], [3, 3], [4, 2], [5, 1],
+    [1, 1, 1, 1, 1, 1], [2, 2, 2], [2, 0, 4],
+])
+def test_grouped_batches_complete_groups(sizes):
+    got = list(grouped_batches(iter(_frames(ROWS, sizes)), "k"))
+    # every yielded frame holds only complete groups...
+    seen = []
+    for pdf in got:
+        keys = list(pdf["k"])
+        for g in dict.fromkeys(keys):
+            assert g not in seen, f"group {g} split across yields"
+        seen.extend(dict.fromkeys(keys))
+    # ...and the concatenation is the original row stream
+    cat = pd.concat(got, ignore_index=True)
+    assert list(map(tuple, cat.itertuples(index=False))) == ROWS
+
+
+def test_grouped_batches_empty():
+    assert list(grouped_batches(iter([]), "k")) == []
+    assert list(grouped_batches(iter([pd.DataFrame(columns=["k"])]),
+                                "k")) == []
+
+
+def test_single_giant_group():
+    rows = [("x", i) for i in range(10)]
+    got = list(grouped_batches(iter(_frames(rows, [3, 3, 3, 1])), "k"))
+    assert len(got) == 1 and len(got[0]) == 10
+
+
+@pytest.fixture()
+def tiny_arrow_batches(spark):
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    yield
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def _stmt_key_rows(df):
+    return sorted(tuple(r) for r in df.select(
+        "graph", "subject", "predicate", "object", "datatype",
+        "annotation").collect())
+
+
+def test_pipeline_invariant_to_arrow_batch_size(spark, tiny_arrow_batches):
+    """Docs straddle Arrow batches at maxRecordsPerBatch=37; output must
+    equal the single-node oracle exactly (VERDICT r1 item 3)."""
+    from ldtab_clj_spark.plans.pipeline import build_statements
+    from ldtab_clj_spark.plans.single_node import single_node_statements
+    from ldtab_clj_spark.synth import entity_dictionary, synth_docs
+    got = _stmt_key_rows(build_statements(synth_docs(spark, 60, seed=7),
+                                          entity_dictionary(spark)))
+    want = sorted((r["graph"], r["subject"], r["predicate"], r["object"],
+                   r["datatype"], r["annotation"])
+                  for r in single_node_statements(60, seed=7))
+    assert got == want
+
+
+def test_expand_invariant_to_arrow_batch_size(spark, tiny_arrow_batches):
+    """Round trip (expand → re-import) with tiny Arrow batches."""
+    from ldtab_clj_spark.plans.pipeline import build_statements, reimport
+    from ldtab_clj_spark.synth import entity_dictionary, synth_docs
+    stmts = build_statements(synth_docs(spark, 40, seed=9),
+                             entity_dictionary(spark))
+    stmts = stmts.persist()
+    try:
+        assert _stmt_key_rows(reimport(stmts)) == _stmt_key_rows(stmts)
+    finally:
+        stmts.unpersist()
