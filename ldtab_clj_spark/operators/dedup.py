@@ -135,27 +135,35 @@ def simhash_signatures(docs: DataFrame,
     return agg.select("doc_id", F.concat(*chars).alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, text_col: str = "text",
-                  bands: int = 4) -> DataFrame:
-    """Near-dup candidates: docs whose SimHash matches on any of
-    ``bands`` contiguous nibble quarters (≈ small hamming distance).
-    Same banded-LSH shuffle shape as minhash_lsh_pairs."""
-    sigs = simhash_signatures(docs, text_col)
-    width = SIMHASH_NIBBLES // bands
-    parts = []
-    for b in range(bands):
-        parts.append(sigs.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.substring("simhash", b * width + 1, width).alias("bucket")))
-    all_bands = parts[0]
-    for p in parts[1:]:
-        all_bands = all_bands.unionByName(p)
-    a, b2 = all_bands.alias("a"), all_bands.alias("b")
-    return (a.join(b2, ["band", "bucket"])
+def _band_pairs(bands_df: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) → distinct candidate pairs (doc_a < doc_b)
+    via a bucket-key self-join. Both join sides are the SAME subplan, so
+    Spark reuses one shuffle exchange (ReusedExchange in the physical
+    plan) — the signature aggregation runs exactly once."""
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    return (a.join(b, ["band", "bucket"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  bands: int = 4) -> DataFrame:
+    """Near-dup candidates: docs whose SimHash matches on any of
+    ``bands`` contiguous nibble quarters (≈ small hamming distance).
+    Same banded-LSH shuffle shape as minhash_lsh_pairs: one signature
+    aggregation, one explode — not one aggregation per band."""
+    sigs = simhash_signatures(docs, text_col)
+    width = SIMHASH_NIBBLES // bands
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.substring("simhash", b * width + 1, width)
+                 .alias("bucket"))
+        for b in range(bands)])
+    all_bands = (sigs.select("doc_id", F.explode(band_arr).alias("bb"))
+                 .select("doc_id", "bb.band", "bb.bucket"))
+    return _band_pairs(all_bands)
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
@@ -163,23 +171,18 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       band_size: int = BAND_SIZE) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band
     (band = concat of ``band_size`` adjacent signature slots).
-    Shuffles on band keys only — never all-pairs."""
+    Shuffles on band keys only — never all-pairs. The per-band bucket
+    ids are built as one array-of-structs on the aggregated signature
+    row and exploded in a single Generate (one aggregation pass, was
+    one per band via union)."""
     sigs = minhash_signatures(docs, text_col, n_hashes)
     n_bands = n_hashes // band_size
-    bands = []
-    for bi in range(n_bands):
-        cols = [F.col(f"sig{bi * band_size + j}")
-                for j in range(band_size)]
-        bands.append(sigs.select(
-            "doc_id", F.lit(bi).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("bucket")))
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
-    a = all_bands.alias("a")
-    b = all_bands.alias("b")
-    return (a.join(b, ["band", "bucket"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    band_arr = F.array(*[
+        F.struct(F.lit(bi).alias("band"),
+                 F.md5(F.concat_ws("|", *[
+                     F.col(f"sig{bi * band_size + j}")
+                     for j in range(band_size)])).alias("bucket"))
+        for bi in range(n_bands)])
+    all_bands = (sigs.select("doc_id", F.explode(band_arr).alias("bb"))
+                 .select("doc_id", "bb.band", "bb.bucket"))
+    return _band_pairs(all_bands)
