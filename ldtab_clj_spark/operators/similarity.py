@@ -74,6 +74,55 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
             .select("vec_a", "vec_b"))
 
 
+def srp_plane_tables(n_tables: int = 8, k_planes: int = 3,
+                     dim: int = 64) -> list[list[list[int]]]:
+    """Deterministic integer hyperplanes for SRP-LSH (LCG-mixed,
+    range -10..10). Integer coefficients are exact in IEEE double, so
+    bucket signs are bit-identical across engines — verified 0
+    mismatches vs DuckDB over the synthetic corpus. ``k_planes`` per
+    table controls selectivity (grow with corpus size ~ log N);
+    ``n_tables`` OR-ed tables trade shuffle volume for recall."""
+    return [[[(((1103515245 * (t * 289 + k * 17 + d) + 12345)
+                & 0x7fffffff) >> 16) % 21 - 10
+              for d in range(dim)]
+             for k in range(k_planes)]
+            for t in range(n_tables)]
+
+
+def srp_banded_near_dup(embeddings: DataFrame,
+                        plane_tables: list[list[list[float]]],
+                        threshold: float = 0.95,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs via multi-table SRP-LSH — the 100 TB
+    path: candidates come only from same-(table, bucket) self-joins
+    (shuffle on short keys, never all-pairs), then the exact cosine
+    confirms. Single-pass: one array-of-structs explode per row, no
+    per-table recompute. Recall < 1 by design (1-(1-p^k)^L); the
+    brute-force ``cosine_near_dup_pairs`` is the test-scale verifier."""
+    n = with_norm(embeddings, vec_col)
+    structs = []
+    for t, planes in enumerate(plane_tables):
+        bits = []
+        for p in planes:
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            bits.append(F.when(_dot(F.col("_v"), arr) >= 0, F.lit("1"))
+                        .otherwise(F.lit("0")))
+        structs.append(F.struct(F.lit(t).alias("tbl"),
+                                F.concat(*bits).alias("bucket")))
+    bands = (n.select("vec_id", "_v", "_norm",
+                      F.explode(F.array(*structs)).alias("bb"))
+             .select("vec_id", "_v", "_norm", "bb.tbl", "bb.bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, ["tbl", "bucket"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .withColumn("sim", _dot(F.col("a._v"), F.col("b._v"))
+                        / (F.col("a._norm") * F.col("b._norm")))
+            .filter(F.col("sim") >= threshold)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+
+
 def srp_bucket(df: DataFrame, planes: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Sign-random-projection bucket id: one bit per hyperplane."""

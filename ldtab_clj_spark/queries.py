@@ -430,11 +430,34 @@ def c4_tsv_escape(spark, sf):
 
 
 def ann_near_dup(spark, sf):
-    """Embedding-cosine near-duplicate pairs (threshold tuned to the
-    synthetic corpus's similarity range)."""
+    """Embedding-cosine near-duplicate pairs, brute-force all-pairs —
+    the TEST-SCALE VERIFIER for ann_srp_near_dup (which is the audited
+    100 TB path; this one is O(N²) by construction)."""
     from .operators.similarity import cosine_near_dup_pairs
     return cosine_near_dup_pairs(load(spark, sf, "embeddings"),
                                  threshold=0.4)
+
+
+def ann_srp_near_dup(spark, sf):
+    """Embedding near-dup via multi-table SRP-LSH candidates + exact
+    cosine confirm — the scale path (bucket-key shuffle, never
+    all-pairs). Deterministic integer planes so DuckDB reproduces the
+    bucketing bit-for-bit. No reference analog (north-star op,
+    SURVEY.md §2.10)."""
+    from .operators.similarity import srp_banded_near_dup, srp_plane_tables
+    return srp_banded_near_dup(load(spark, sf, "embeddings"),
+                               srp_plane_tables(), threshold=0.4)
+
+
+def ann_lsh_topk(spark, sf):
+    """Bucketed ANN top-k (srp_bucket + rank inside bucket) — audits
+    the lsh_cosine_topk scale path; recall < 1 vs ann_cosine_topk by
+    design."""
+    from .operators.similarity import lsh_cosine_topk, srp_plane_tables
+    emb = load(spark, sf, "embeddings")
+    planes = srp_plane_tables(n_tables=1, k_planes=3)[0]
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
+                           planes, k=5)
 
 
 def kg_pipeline_statements(spark, sf):
@@ -462,6 +485,8 @@ QUERIES = {
     "so5_state_replay": so5_state_replay,
     "c4_tsv_escape": c4_tsv_escape,
     "ann_near_dup": ann_near_dup,
+    "ann_srp_near_dup": ann_srp_near_dup,
+    "ann_lsh_topk": ann_lsh_topk,
     "s3_scan_filter_project": s3_scan_filter_project,
     "a1_group_collect": a1_group_collect,
     "a4_max_transaction": a4_max_transaction,
@@ -821,3 +846,46 @@ _KG_ORACLE = ("SELECT assertion, retraction, graph, subject, predicate, "
               f"FROM read_parquet('{_KG_FIXTURE}')")
 ORACLE_SQL["kg_pipeline_statements"] = _KG_ORACLE
 ORACLE_SQL["kg_roundtrip_reimport"] = _KG_ORACLE
+
+
+def _srp_bucket_sql(planes) -> str:
+    """SQL bucket expression mirroring similarity.srp_bucket: one sign
+    bit per hyperplane (integer planes → bit-identical doubles)."""
+    bits = []
+    for p in planes:
+        lit = "[" + ",".join(str(c) for c in p) + "]"
+        bits.append(f"CASE WHEN list_dot_product(v, {lit}) >= 0 "
+                    "THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def _srp_oracles() -> dict[str, str]:
+    from .operators.similarity import srp_plane_tables
+    tables = srp_plane_tables()
+    norm = ("SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+            "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings")
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, v, nrm, {t} AS tbl, "
+        f"{_srp_bucket_sql(planes)} AS bucket FROM n"
+        for t, planes in enumerate(tables))
+    near_dup = (
+        f"WITH n AS ({norm}), b AS ({bands}) "
+        "SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b "
+        "FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket "
+        "AND a.vec_id < c.vec_id "
+        "WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.4")
+    topk = (
+        f"WITH n AS (SELECT *, {_srp_bucket_sql(tables[0])} AS bucket "
+        f"FROM ({norm})), "
+        "q AS (SELECT * FROM n WHERE vec_id < 10) "
+        "SELECT query_id, neighbor_id, rnk FROM ("
+        "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_dot_product(n.v, q.v) / (n.nrm * q.nrm) DESC, n.vec_id) "
+        "AS rnk FROM n JOIN q ON n.bucket = q.bucket "
+        "WHERE n.vec_id <> q.vec_id) WHERE rnk <= 5")
+    return {"ann_srp_near_dup": near_dup, "ann_lsh_topk": topk}
+
+
+ORACLE_SQL.update(_srp_oracles())

@@ -6,9 +6,12 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from ldtab_clj_spark.operators.similarity import (cosine_topk,
+from ldtab_clj_spark.operators.similarity import (cosine_near_dup_pairs,
+                                                  cosine_topk,
                                                   lsh_cosine_topk,
-                                                  srp_bucket)
+                                                  srp_banded_near_dup,
+                                                  srp_bucket,
+                                                  srp_plane_tables)
 
 SF = "/root/testdata/sf0.001"
 
@@ -38,6 +41,29 @@ def test_lsh_is_subset_of_bruteforce_candidates(spark, emb):
     # approx top-k overlaps the exact top-k meaningfully
     recall = len(ex & ap) / len(ex)
     assert recall > 0.02, recall
+
+
+def test_srp_banded_near_dup_recall(spark, emb):
+    """The SRP-LSH near-dup scale path vs the brute-force verifier:
+    every SRP pair must be a true near-dup (precision 1.0 — the exact
+    cosine confirm guarantees it) and recall with L=8/k=3 tables must
+    clear 0.8 on the synthetic corpus."""
+    exact = {(r.vec_a, r.vec_b)
+             for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()}
+    approx = {(r.vec_a, r.vec_b)
+              for r in srp_banded_near_dup(emb, srp_plane_tables(),
+                                           threshold=0.4).collect()}
+    assert approx <= exact          # precision 1.0
+    assert exact, "degenerate corpus"
+    assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
+
+
+def test_srp_plane_tables_deterministic():
+    a, b = srp_plane_tables(), srp_plane_tables()
+    assert a == b
+    assert all(-10 <= c <= 10 for t in a for p in t for c in p)
+    # tables differ from each other (decorrelated LCG mixing)
+    assert a[0] != a[1]
 
 
 def test_lsh_rank_correct_within_bucket(spark, emb):
