@@ -101,15 +101,14 @@ def cmd_import(args) -> int:
     # statement table, never truncates it); dedup-on-read resolves
     # duplicates across imports
     from .operators.materialize import write_statements
-    before = spark.read.parquet(_statement_path(args.db)).count()
     info = write_statements(statements, _statement_path(args.db),
                             run_id=f"import-{int(time.time())}",
                             mode="append")
     if args.streaming:
         import shutil
         shutil.rmtree(tmp_dir, ignore_errors=True)
-    # report the incoming batch, not the post-append table total
-    print(f"imported {info['rows'] - before} statements "
+    # batch_rows is observed during the write itself (no extra count)
+    print(f"imported {info['batch_rows']} statements "
           f"({info['partitions']} partitions, "
           f"table total {info['rows']})")
     return 0
@@ -142,6 +141,8 @@ def cmd_export(args) -> int:
 
 def cmd_diff(args) -> int:
     spark = _spark()
+    import shutil
+
     from .operators.diff import apply_diff, current_state
     from .operators.export import read_tsv
     statements = _read_db(spark, args.db)
@@ -150,10 +151,19 @@ def cmd_diff(args) -> int:
     updated = apply_diff(statements, current_state(statements),
                          new.select("graph", "subject", "predicate",
                                     "object", "datatype", "annotation"),
-                         tid).localCheckpoint()
-    updated.write.mode("overwrite").parquet(_statement_path(args.db))
-    added = updated.filter(F.col("assertion") == tid).count()
-    retracted = updated.filter(F.col("retraction") == tid).count()
+                         tid)
+    # write-temp-swap: never overwrite the table we are still reading
+    # (localCheckpoint would pin the whole table in executor memory)
+    dst = Path(_statement_path(args.db))
+    tmp, bak = Path(f"{dst}_tx{tid}"), Path(f"{dst}_old")
+    updated.write.mode("overwrite").parquet(str(tmp))
+    written = spark.read.parquet(str(tmp))
+    added = written.filter(F.col("assertion") == tid).count()
+    retracted = written.filter(F.col("retraction") == tid).count()
+    shutil.rmtree(bak, ignore_errors=True)
+    dst.rename(bak)
+    tmp.rename(dst)
+    shutil.rmtree(bak)
     print(f"transaction {tid}: +{added} -{retracted}")
     return 0
 

@@ -15,8 +15,9 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 STATEMENT_COLS = ["assertion", "retraction", "graph", "subject",
@@ -46,33 +47,61 @@ def dedup_statements(statements: DataFrame) -> DataFrame:
             .select(*STATEMENT_COLS)
 
 
+def _parquet_files(path: str) -> list[Path]:
+    return sorted(Path(path).glob("*.parquet"))
+
+
+def _footer_rows(f: Path) -> int:
+    """Row count from the parquet footer — metadata only, no data scan.
+    (On object stores the same footer read goes through pyarrow's fs.)"""
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f).metadata.num_rows
+
+
 def write_statements(statements: DataFrame, path: str,
                      partitions: int | None = None,
                      run_id: str = "run-1",
                      mode: str = "overwrite") -> dict:
-    """Subject-hash-partitioned parquet write + lineage sidecar.
+    """Subject-hash-partitioned parquet write + lineage sidecar,
+    in ONE pass over the data:
+
+    * batch metrics (rows, annotated) ride the write action itself via
+      ``df.observe`` — no second scan;
+    * per-file row counts come from the parquet footers (metadata
+      reads, no data scan); on append, files already in the sidecar
+      keep their original run_id, new files are tagged with this one —
+      per-import deltas stay auditable.
 
     Returns the lineage summary. On Iceberg this would be
-    ``writeTo(...).append()`` with table-level metrics; parquet + a
-    JSON-lines sidecar keeps the same contract in the sandbox.
+    ``writeTo(...).append()`` with table/snapshot-level metrics; parquet
+    + a JSON-lines sidecar keeps the same contract in the sandbox.
     """
     df = statements.repartition(partitions, "subject") if partitions \
         else statements.repartition("subject")
-    df.write.mode(mode).parquet(path)
-
-    spark = statements.sparkSession
-    written = spark.read.parquet(path)
-    lineage = (written.groupBy(F.spark_partition_id().alias("partition_id"))
-               .agg(F.count("*").alias("rows"),
-                    F.countDistinct("subject").alias("subjects"),
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"),
                     F.sum(F.when(F.col("annotation").isNotNull(), 1)
-                          .otherwise(0)).alias("annotated")))
-    lineage = lineage.withColumn("run_id", F.lit(run_id)) \
-                     .withColumn("ts", F.lit(int(time.time())))
-    lineage.write.mode("overwrite").json(path + "_lineage")
-    stats = {r["partition_id"]: r["rows"] for r in lineage.collect()}
-    return {"run_id": run_id, "partitions": len(stats),
-            "rows": int(sum(stats.values()))}
+                          .otherwise(0)).alias("annotated"))
+    df.write.mode(mode).parquet(path)
+    metrics = obs.get
+
+    sidecar = Path(path + "_lineage") / "lineage.json"
+    prior = []
+    if mode == "append" and sidecar.exists():
+        prior = [json.loads(line) for line in
+                 sidecar.read_text().splitlines() if line.strip()]
+    known = {r["file"] for r in prior}
+    ts = int(time.time())
+    new = [{"file": f.name, "rows": _footer_rows(f),
+            "run_id": run_id, "ts": ts}
+           for f in _parquet_files(path) if f.name not in known]
+    sidecar.parent.mkdir(parents=True, exist_ok=True)
+    sidecar.write_text("".join(json.dumps(r) + "\n" for r in prior + new))
+
+    return {"run_id": run_id, "partitions": len(new),
+            "rows": int(sum(r["rows"] for r in prior + new)),
+            "batch_rows": int(metrics["rows"] or 0),
+            "annotated": int(metrics["annotated"] or 0)}
 
 
 def read_statements(spark: SparkSession, path: str) -> DataFrame:

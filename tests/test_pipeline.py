@@ -107,4 +107,31 @@ def test_materialize_lineage(spark, tmp_path, statements):
     out = str(tmp_path / "statement")
     info = write_statements(statements, out, partitions=8)
     assert info["rows"] == statements.count()
+    assert info["batch_rows"] == info["rows"]
+    assert verify_lineage(spark, out)
+
+
+def test_materialize_append_lineage_deltas(spark, tmp_path, statements):
+    """Appends keep per-import deltas in the sidecar: earlier files
+    retain their run_id, new files get the new one, totals add up."""
+    import json
+    from pathlib import Path
+
+    from ldtab_clj_spark.operators.materialize import (verify_lineage,
+                                                       write_statements)
+    out = str(tmp_path / "statement")
+    n = statements.count()
+    i1 = write_statements(statements, out, partitions=4, run_id="r1")
+    i2 = write_statements(statements, out, partitions=4, run_id="r2",
+                          mode="append")
+    assert i1["rows"] == n and i1["batch_rows"] == n
+    assert i2["batch_rows"] == n and i2["rows"] == 2 * n
+    rows = [json.loads(line) for line in
+            (Path(out + "_lineage") / "lineage.json").read_text()
+            .splitlines()]
+    by_run = {}
+    for r in rows:
+        by_run.setdefault(r["run_id"], 0)
+        by_run[r["run_id"]] += r["rows"]
+    assert by_run == {"r1": n, "r2": n}
     assert verify_lineage(spark, out)
