@@ -69,9 +69,19 @@ def cmd_prefix(args) -> int:
 def cmd_import(args) -> int:
     spark = _spark()
     prefix_df = spark.read.parquet(str(Path(args.db) / "prefix"))
-    if args.input.rstrip("/").endswith(".nt") or args.nt:
+    # extension sniff (cli.clj:50-52; Jena-format dispatch
+    # import.clj:148-154): .nt → N-Triples, .ttl → Turtle,
+    # .owl/.rdf/.rdfxml → RDF/XML, else docs parquet
+    ext = Path(args.input.rstrip("/")).suffix.lower()
+    if ext == ".nt" or args.nt:
         from .sources.ntriples import import_ntriples
         statements = import_ntriples(spark, args.input, prefix_df)
+    elif ext == ".ttl":
+        from .sources.turtle import import_turtle
+        statements = import_turtle(spark, args.input, prefix_df)
+    elif ext in (".owl", ".rdf", ".rdfxml"):
+        from .sources.rdfxml import import_rdfxml
+        statements = import_rdfxml(spark, args.input, prefix_df)
     else:
         docs = spark.read.schema(DOCS).parquet(args.input)
         if args.dict:

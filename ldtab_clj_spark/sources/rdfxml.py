@@ -1,0 +1,205 @@
+"""RDF/XML source (SURVEY.md S1/S2 — the other Jena input format the
+reference relies on: its own correctness oracle imports
+resources/ontology.owl via import.clj:148-154 / rdf_model.clj:42-51).
+
+A pragmatic subset of the RDF/XML syntax covering what OWL-API/ROBOT
+emit (and all constructs in the reference's ontology.owl):
+
+* typed node elements (``<owl:Class rdf:about=...>``) and
+  ``rdf:Description``;
+* ``rdf:about`` / ``rdf:ID`` / ``rdf:nodeID`` / anonymous nodes;
+* property elements with ``rdf:resource`` / ``rdf:nodeID`` /
+  ``rdf:datatype`` / inherited ``xml:lang`` / nested node elements;
+* ``rdf:parseType="Collection"`` (RDF lists) and ``"Resource"``
+  (anonymous property nodes), plus ``"Literal"`` (XML-literal text);
+* property attributes on node elements (literal shorthand).
+
+Files are the unit of parallelism (``wholetext=True`` + mapInPandas),
+same as sources/turtle.py. Output: thin triples CURIE-fied against the
+prefix table; run operators/components.assign_components before stanza
+assembly.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import THIN
+from .turtle import _RDF, _XSD, _to_thin
+
+_RDF_NS = _RDF[:-1] if _RDF.endswith("#") else _RDF  # keep '#' handling clear
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+_SYNTAX_ATTRS = {f"{{{_RDF}}}about", f"{{{_RDF}}}ID", f"{{{_RDF}}}nodeID",
+                 f"{{{_RDF}}}resource", f"{{{_RDF}}}datatype",
+                 f"{{{_RDF}}}parseType",
+                 f"{{{_XML_NS}}}lang", f"{{{_XML_NS}}}base"}
+
+
+class RdfXmlError(ValueError):
+    pass
+
+
+def _tag_iri(tag: str) -> str:
+    if not tag.startswith("{"):
+        raise RdfXmlError(f"unqualified tag {tag!r}")
+    ns, local = tag[1:].split("}", 1)
+    return ns + local
+
+
+class _Parser:
+    def __init__(self, base: str = ""):
+        self.triples: list[tuple] = []
+        self.anon = 0
+        self.base = base
+
+    def fresh_blank(self) -> str:
+        self.anon += 1
+        return f"_:xanon{self.anon}"
+
+    def emit(self, s, p, o, dt):
+        self.triples.append((s, p, o, dt))
+
+    def node_id(self, el: ET.Element) -> str:
+        about = el.get(f"{{{_RDF}}}about")
+        if about is not None:
+            return self.resolve(about)
+        rid = el.get(f"{{{_RDF}}}ID")
+        if rid is not None:
+            return f"{self.base}#{rid}"
+        nid = el.get(f"{{{_RDF}}}nodeID")
+        if nid is not None:
+            return f"_:{nid}"
+        return self.fresh_blank()
+
+    def resolve(self, iri: str) -> str:
+        import re
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            if iri.startswith("#") or iri == "":
+                return self.base + iri
+            return self.base.rsplit("/", 1)[0] + "/" + iri
+        return iri
+
+    def node_element(self, el: ET.Element, lang: str = "") -> str:
+        """A node element → its subject id; emits its triples."""
+        lang = el.get(f"{{{_XML_NS}}}lang", lang)
+        subject = self.node_id(el)
+        tag = _tag_iri(el.tag)
+        if tag != _RDF + "Description":
+            self.emit(subject, _RDF + "type", tag, "_IRI")
+        # property attributes (literal shorthand)
+        for k, v in el.attrib.items():
+            if k in _SYNTAX_ATTRS or k.startswith(f"{{{_RDF}}}"):
+                continue
+            if k.startswith("{"):
+                self.emit(subject, _tag_iri(k), v,
+                          f"@{lang}" if lang else _XSD + "string")
+        for child in el:
+            self.property_element(subject, child, lang)
+        return subject
+
+    def property_element(self, subject: str, el: ET.Element, lang: str):
+        lang = el.get(f"{{{_XML_NS}}}lang", lang)
+        pred = _tag_iri(el.tag)
+        res = el.get(f"{{{_RDF}}}resource")
+        if res is not None:
+            self.emit(subject, pred, self.resolve(res), "_IRI")
+            return
+        nid = el.get(f"{{{_RDF}}}nodeID")
+        if nid is not None:
+            self.emit(subject, pred, f"_:{nid}", "_JSONMAP")
+            return
+        ptype = el.get(f"{{{_RDF}}}parseType")
+        if ptype == "Collection":
+            items = [self.node_element(c, lang) for c in el]
+            if not items:
+                self.emit(subject, pred, _RDF + "nil", "_IRI")
+                return
+            head = cur = self.fresh_blank()
+            for j, item in enumerate(items):
+                dt = "_JSONMAP" if item.startswith("_:") else "_IRI"
+                self.emit(cur, _RDF + "first", item, dt)
+                if j + 1 < len(items):
+                    nxt = self.fresh_blank()
+                    self.emit(cur, _RDF + "rest", nxt, "_JSONMAP")
+                    cur = nxt
+                else:
+                    self.emit(cur, _RDF + "rest", _RDF + "nil", "_IRI")
+            self.emit(subject, pred, head, "_JSONMAP")
+            return
+        if ptype == "Resource":
+            bnode = self.fresh_blank()
+            for c in el:
+                self.property_element(bnode, c, lang)
+            self.emit(subject, pred, bnode, "_JSONMAP")
+            return
+        if ptype == "Literal":
+            text = (el.text or "") + "".join(
+                ET.tostring(c, encoding="unicode") for c in el)
+            self.emit(subject, pred, text, _RDF + "XMLLiteral")
+            return
+        children = list(el)
+        if children:
+            if len(children) != 1:
+                raise RdfXmlError(
+                    f"property {pred} has {len(children)} node children")
+            obj = self.node_element(children[0], lang)
+            dt = "_JSONMAP" if obj.startswith("_:") else "_IRI"
+            self.emit(subject, pred, obj, dt)
+            return
+        # literal
+        text = el.text or ""
+        dt = el.get(f"{{{_RDF}}}datatype")
+        if dt is not None:
+            self.emit(subject, pred, text, dt)
+        elif lang:
+            self.emit(subject, pred, text, f"@{lang}")
+        else:
+            self.emit(subject, pred, text, _XSD + "string")
+
+
+def parse_rdfxml(text: str) -> list[tuple]:
+    """RDF/XML text → raw (subject, predicate, object, datatype)
+    triples with full IRIs (blank nodes as ``_:`` labels)."""
+    root = ET.fromstring(text)
+    base = root.get(f"{{{_XML_NS}}}base", "")
+    p = _Parser(base=base.rstrip("#"))
+    if _tag_iri(root.tag) == _RDF + "RDF":
+        lang = root.get(f"{{{_XML_NS}}}lang", "")
+        for el in root:
+            p.node_element(el, lang)
+    else:
+        p.node_element(root)
+    return p.triples
+
+
+def read_rdfxml(spark: SparkSession, path: str,
+                prefix_df: DataFrame) -> DataFrame:
+    """Distributed RDF/XML scan (one task per file) → thin triples."""
+    prefixes = [(r["prefix"], r["base"]) for r in prefix_df.collect()]
+    files = spark.read.text(path, wholetext=True)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for text in pdf["value"]:
+                rows.extend((*t, "", 0)
+                            for t in _to_thin(parse_rdfxml(text),
+                                              prefixes))
+            yield pd.DataFrame(rows, columns=[f.name for f in THIN.fields])
+
+    return files.mapInPandas(parse, THIN)
+
+
+def import_rdfxml(spark: SparkSession, path: str,
+                  prefix_df: DataFrame) -> DataFrame:
+    """Full `ldtab import file.owl` equivalent."""
+    from ..operators.components import assign_components
+    from ..operators.materialize import dedup_statements
+    from ..operators.stanza import thin_to_thick_df
+    thin = assign_components(read_rdfxml(spark, path, prefix_df))
+    return dedup_statements(thin_to_thick_df(thin))

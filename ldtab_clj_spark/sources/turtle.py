@@ -1,0 +1,343 @@
+"""Turtle source (SURVEY.md S1/S2 — the RDF text format the reference
+imports through Jena, import.clj:148-154 / rdf_model.clj:42-51).
+
+A pragmatic Turtle-1.1 subset sufficient for real ontology workflows:
+``@prefix``/``@base`` (and SPARQL-style ``PREFIX``/``BASE``), ``a``,
+``;``/``,`` separators, blank-node property lists ``[...]``,
+collections ``(...)``, blank-node labels, triple- and single-quoted
+strings with escapes, ``@lang`` / ``^^dt`` tags, and numeric/boolean
+literal abbreviations.
+
+Distribution model: Turtle is stateful (prefix directives, multi-line
+statements), so files — not lines — are the unit of parallelism:
+``spark.read.text(..., wholetext=True)`` yields one row per file and
+the tokenizer runs Arrow-batched per file. A single giant ``.ttl``
+should be pre-split into files (or converted to N-Triples, which
+splits by line); at 100 TB the corpus is many files either way.
+
+Output is the same thin-triple shape as sources/ntriples.py: IRIs
+CURIE-fied against the prefix table (longest match), blank labels
+file-scoped; run operators/components.assign_components before stanza
+assembly.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core.canonical import curify_with
+from ..schemas import THIN
+from .ntriples import _unescape
+
+_TOKEN = re.compile(r"""
+    (?P<comment>\#[^\n]*)
+  | (?P<iriref><[^<>"{}|^`\\\x00-\x20]*>)
+  | (?P<string>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"
+      |'''(?:[^'\\]|\\.|'(?!''))*'''
+      |"(?:[^"\\\n]|\\.)*"
+      |'(?:[^'\\\n]|\\.)*')
+  | (?P<blank>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<number>[+-]?(?:(?:\d+\.\d+|\.\d+|\d+)[eE][+-]?\d+
+      |\d*\.\d+|\d+))
+  | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_\-]*(?:\.[A-Za-z0-9_\-]+)*)?:
+      (?:[A-Za-z0-9_:%\-]|\\[~.!$&'()*+,;=/?\#@%_-]
+        |\.(?=[A-Za-z0-9_:%.\-]))*)
+  | (?P<punct>\^\^|[.;,\[\]()])
+  | (?P<word>[A-Za-z][A-Za-z]*)
+  | (?P<ws>\s+)
+""", re.VERBOSE)
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+class TurtleError(ValueError):
+    pass
+
+
+def _tokens(text: str):
+    pos, n = 0, len(text)
+    while pos < n:
+        m = _TOKEN.match(text, pos)
+        if not m:
+            raise TurtleError(f"unexpected char {text[pos]!r} at {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        yield kind, m.group()
+    yield "eof", ""
+
+
+class _Parser:
+    """Recursive-descent Turtle parser emitting raw triples
+    (subject, predicate, object, datatype) with full IRIs; blank nodes
+    are ``_:`` labels, anonymous ones minted file-locally."""
+
+    def __init__(self, text: str):
+        self.toks = list(_tokens(text))
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.anon = 0
+        self.triples: list[tuple] = []
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, value: str):
+        kind, tok = self.next()
+        if tok != value:
+            raise TurtleError(f"expected {value!r}, got {tok!r}")
+
+    def fresh_blank(self) -> str:
+        self.anon += 1
+        return f"_:anon{self.anon}"
+
+    def resolve(self, iri: str) -> str:
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            return self.base + iri
+        return iri
+
+    def pname_to_iri(self, pname: str) -> str:
+        pfx, local = pname.split(":", 1)
+        if pfx not in self.prefixes:
+            raise TurtleError(f"undefined prefix {pfx!r}:")
+        local = re.sub(r"\\(.)", r"\1", local)  # PN_LOCAL_ESC
+        return self.prefixes[pfx] + local
+
+    # ---- grammar ----
+
+    def parse(self):
+        while True:
+            kind, tok = self.peek()
+            if kind == "eof":
+                return self
+            # "@prefix"/"@base" tokenize as langtags; SPARQX-style
+            # PREFIX/BASE as bare words
+            if tok in ("@prefix", "@base") or \
+               (kind == "word" and tok.upper() in ("PREFIX", "BASE")):
+                self.directive()
+            else:
+                self.triples_stmt()
+
+    def directive(self):
+        kind, tok = self.next()
+        word = tok.lstrip("@").upper()
+        if word == "PREFIX":
+            k2, pn = self.next()
+            if not pn.endswith(":"):
+                raise TurtleError(f"bad prefix name {pn!r}")
+            k3, iri = self.next()
+            if k3 != "iriref":
+                raise TurtleError(f"bad prefix IRI {iri!r}")
+            self.prefixes[pn[:-1]] = self.resolve(iri[1:-1])
+        elif word == "BASE":
+            k2, iri = self.next()
+            if k2 != "iriref":
+                raise TurtleError(f"bad base IRI {iri!r}")
+            self.base = iri[1:-1]
+        else:
+            raise TurtleError(f"unknown directive {tok!r}")
+        if tok.startswith("@"):
+            self.expect(".")
+        elif self.peek()[1] == ".":     # tolerate SPARQL form with dot
+            self.next()
+
+    def triples_stmt(self):
+        kind, tok = self.peek()
+        if tok == "[":
+            subject = self.bnode_property_list()
+            if self.peek()[1] != ".":   # [ ... ] predicateObjectList .
+                self.predicate_object_list(subject)
+        elif tok == "(":
+            subject = self.collection()
+            self.predicate_object_list(subject)
+        else:
+            subject = self.subject()
+            self.predicate_object_list(subject)
+        self.expect(".")
+
+    def subject(self) -> str:
+        kind, tok = self.next()
+        if kind == "iriref":
+            return self.resolve(tok[1:-1])
+        if kind == "pname":
+            return self.pname_to_iri(tok)
+        if kind == "blank":
+            return tok
+        raise TurtleError(f"bad subject {tok!r}")
+
+    def predicate(self) -> str:
+        kind, tok = self.next()
+        if kind == "word" and tok == "a":
+            return _RDF + "type"
+        if kind == "iriref":
+            return self.resolve(tok[1:-1])
+        if kind == "pname":
+            return self.pname_to_iri(tok)
+        raise TurtleError(f"bad predicate {tok!r}")
+
+    def predicate_object_list(self, subject: str):
+        while True:
+            pred = self.predicate()
+            while True:
+                obj, dt = self.object_term()
+                self.triples.append((subject, pred, obj, dt))
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek()[1] == ";":
+                self.next()
+                # tolerate trailing ';' before '.' or ']'
+                if self.peek()[1] in (".", "]"):
+                    return
+                continue
+            return
+
+    def object_term(self) -> tuple[str, str]:
+        """→ (object, datatype) where datatype is a FULL-IRI tag,
+        ``@lang``, ``_IRI`` or ``_JSONMAP`` (blank)."""
+        kind, tok = self.peek()
+        if tok == "[":
+            return self.bnode_property_list(), "_JSONMAP"
+        if tok == "(":
+            return self.collection(), "_JSONMAP"
+        self.next()
+        if kind == "iriref":
+            return self.resolve(tok[1:-1]), "_IRI"
+        if kind == "pname":
+            return self.pname_to_iri(tok), "_IRI"
+        if kind == "blank":
+            return tok, "_JSONMAP"
+        if kind == "word":
+            if tok in ("true", "false"):
+                return tok, _XSD + "boolean"
+            raise TurtleError(f"bad object {tok!r}")
+        if kind == "number":
+            if re.search(r"[eE]", tok):
+                return tok, _XSD + "double"
+            if "." in tok:
+                return tok, _XSD + "decimal"
+            return tok, _XSD + "integer"
+        if kind == "string":
+            if tok.startswith(('"""', "'''")):
+                lex = tok[3:-3]
+            else:
+                lex = tok[1:-1]
+            lex = _unescape(lex)
+            nk, nt = self.peek()
+            if nk == "langtag":
+                self.next()
+                return lex, nt
+            if nt == "^^":
+                self.next()
+                dk, dtok = self.next()
+                if dk == "iriref":
+                    return lex, self.resolve(dtok[1:-1])
+                if dk == "pname":
+                    return lex, self.pname_to_iri(dtok)
+                raise TurtleError(f"bad datatype {dtok!r}")
+            return lex, _XSD + "string"
+        raise TurtleError(f"bad object {tok!r}")
+
+    def bnode_property_list(self) -> str:
+        self.expect("[")
+        bnode = self.fresh_blank()
+        if self.peek()[1] != "]":
+            self.predicate_object_list(bnode)
+        self.expect("]")
+        return bnode
+
+    def collection(self) -> str:
+        self.expect("(")
+        items = []
+        while self.peek()[1] != ")":
+            items.append(self.object_term())
+        self.next()
+        if not items:
+            return _RDF + "nil"          # caller emits it as _JSONMAP;
+            #                              components treats it as label
+        head = cur = self.fresh_blank()
+        for j, (obj, dt) in enumerate(items):
+            self.triples.append((cur, _RDF + "first", obj, dt))
+            if j + 1 < len(items):
+                nxt = self.fresh_blank()
+                self.triples.append((cur, _RDF + "rest", nxt, "_JSONMAP"))
+                cur = nxt
+            else:
+                self.triples.append((cur, _RDF + "rest", _RDF + "nil",
+                                     "_IRI"))
+        return head
+
+
+def parse_turtle(text: str) -> list[tuple]:
+    """Turtle text → raw (subject, predicate, object, datatype) triples
+    with full IRIs (blank nodes as ``_:`` labels)."""
+    return _Parser(text).parse().triples
+
+
+def _to_thin(raw: list[tuple],
+             prefixes: list[tuple[str, str]]) -> list[tuple]:
+    """Raw full-IRI triples → thin-triple tuples, CURIE-fied against
+    the prefix table exactly like sources/ntriples.py."""
+    out = []
+    for s, p, o, dt in raw:
+        subject = s if s.startswith("_:") else curify_with(s, prefixes)
+        predicate = curify_with(p, prefixes)
+        if dt == "_JSONMAP":
+            obj, d = (o if o.startswith("_:")
+                      else curify_with(o, prefixes)), "_JSONMAP"
+            if not o.startswith("_:"):   # () → rdf:nil IRI object
+                d = "_IRI"
+        elif dt == "_IRI":
+            obj, d = curify_with(o, prefixes), "_IRI"
+        elif dt.startswith("@"):
+            obj, d = o, dt
+        else:
+            obj, d = o, curify_with(dt, prefixes)
+        out.append((subject, predicate, obj, d,
+                    subject.startswith("_:"),
+                    d == "_JSONMAP"))
+    return out
+
+
+def read_turtle(spark: SparkSession, path: str,
+                prefix_df: DataFrame) -> DataFrame:
+    """Distributed Turtle scan (one task per file) → thin triples
+    (doc_id empty; run assign_components before stanza assembly)."""
+    prefixes = [(r["prefix"], r["base"]) for r in prefix_df.collect()]
+    files = spark.read.text(path, wholetext=True)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for text in pdf["value"]:
+                rows.extend((*t, "", 0)
+                            for t in _to_thin(parse_turtle(text),
+                                              prefixes))
+            yield pd.DataFrame(rows, columns=[f.name for f in THIN.fields])
+
+    return files.mapInPandas(parse, THIN)
+
+
+def import_turtle(spark: SparkSession, path: str,
+                  prefix_df: DataFrame) -> DataFrame:
+    """Full `ldtab import file.ttl` equivalent: parse → component
+    closure → stanza assembly → dedup. Returns the statement table."""
+    from ..operators.components import assign_components
+    from ..operators.materialize import dedup_statements
+    from ..operators.stanza import thin_to_thick_df
+    thin = assign_components(read_turtle(spark, path, prefix_df))
+    return dedup_statements(thin_to_thick_df(thin))

@@ -1,0 +1,160 @@
+"""Turtle + RDF/XML sources: parser unit tests, cross-format agreement
+(same graph in .ttl / .owl / .nt must import to the same statement
+table), and the reference's own ontology.owl fixture round-tripped
+end-to-end (its correctness oracle: import.clj:148-154 +
+Makefile round-trip target)."""
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ldtab_clj_spark.sources.rdfxml import import_rdfxml, parse_rdfxml
+from ldtab_clj_spark.sources.turtle import (TurtleError, import_turtle,
+                                            parse_turtle)
+
+PREFIXES = [("ex", "http://example.com/"),
+            ("obo", "http://purl.obolibrary.org/obo/"),
+            ("rdf", "http://www.w3.org/1999/02/22-rdf-syntax-ns#"),
+            ("rdfs", "http://www.w3.org/2000/01/rdf-schema#"),
+            ("owl", "http://www.w3.org/2002/07/owl#"),
+            ("xsd", "http://www.w3.org/2001/XMLSchema#")]
+
+REF_OWL = Path("/root/reference/resources/ontology.owl")
+
+TTL = """\
+@prefix ex: <http://example.com/> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:A a owl:Class ;
+    rdfs:label "Widget A"@en ;
+    ex:count "5"^^xsd:integer ;
+    rdfs:subClassOf [ a owl:Restriction ;
+                      owl:onProperty ex:p ;
+                      owl:someValuesFrom ex:B ] .
+ex:D a owl:AllDisjointClasses ;
+    owl:members ( ex:A ex:B ex:C ) .
+"""
+
+# the same graph, hand-translated (blank labels differ; that's the point)
+NT = """\
+<http://example.com/A> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Class> .
+<http://example.com/A> <http://www.w3.org/2000/01/rdf-schema#label> "Widget A"@en .
+<http://example.com/A> <http://example.com/count> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://example.com/A> <http://www.w3.org/2000/01/rdf-schema#subClassOf> _:r .
+_:r <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Restriction> .
+_:r <http://www.w3.org/2002/07/owl#onProperty> <http://example.com/p> .
+_:r <http://www.w3.org/2002/07/owl#someValuesFrom> <http://example.com/B> .
+<http://example.com/D> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#AllDisjointClasses> .
+<http://example.com/D> <http://www.w3.org/2002/07/owl#members> _:l1 .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://example.com/A> .
+_:l1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:l2 .
+_:l2 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://example.com/B> .
+_:l2 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> _:l3 .
+_:l3 <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> <http://example.com/C> .
+_:l3 <http://www.w3.org/1999/02/22-rdf-syntax-ns#rest> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .
+"""
+
+OWL_XML = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:ex="http://example.com/">
+  <owl:Class rdf:about="http://example.com/A">
+    <rdfs:label xml:lang="en">Widget A</rdfs:label>
+    <ex:count rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">5</ex:count>
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="http://example.com/p"/>
+        <owl:someValuesFrom rdf:resource="http://example.com/B"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+  </owl:Class>
+  <owl:AllDisjointClasses rdf:about="http://example.com/D">
+    <owl:members rdf:parseType="Collection">
+      <rdf:Description rdf:about="http://example.com/A"/>
+      <rdf:Description rdf:about="http://example.com/B"/>
+      <rdf:Description rdf:about="http://example.com/C"/>
+    </owl:members>
+  </owl:AllDisjointClasses>
+</rdf:RDF>
+"""
+
+
+@pytest.fixture(scope="module")
+def prefix_df(spark):
+    return spark.createDataFrame(PREFIXES, "prefix string, base string")
+
+
+def _stmt_keys(df):
+    return {(r.subject, r.predicate, r.object, r.datatype, r.annotation)
+            for r in df.collect()}
+
+
+def test_parse_turtle_core_forms():
+    triples = parse_turtle(TTL)
+    assert ("http://example.com/A",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://www.w3.org/2002/07/owl#Class", "_IRI") in triples
+    # lang tag, typed literal, list cells
+    assert ("http://example.com/A",
+            "http://www.w3.org/2000/01/rdf-schema#label",
+            "Widget A", "@en") in triples
+    firsts = [t for t in triples if t[1].endswith("#first")]
+    assert len(firsts) == 3
+
+
+def test_parse_turtle_errors():
+    with pytest.raises(TurtleError):
+        parse_turtle("ex:a ex:b ex:c .")  # undefined prefix
+    with pytest.raises(TurtleError):
+        parse_turtle("@prefix ex: <http://x/> . ex:a ex:b ")  # no '.'
+
+
+def test_three_formats_agree(spark, tmp_path, prefix_df):
+    """The same graph as .ttl, .owl and .nt must produce the SAME
+    statement table (blank labels differ per format — content-hash
+    skolemization makes them converge)."""
+    from ldtab_clj_spark.sources.ntriples import import_ntriples
+    (tmp_path / "g.ttl").write_text(TTL)
+    (tmp_path / "g.owl").write_text(OWL_XML)
+    (tmp_path / "g.nt").write_text(NT)
+    ttl = _stmt_keys(import_turtle(spark, str(tmp_path / "g.ttl"),
+                                   prefix_df))
+    owl = _stmt_keys(import_rdfxml(spark, str(tmp_path / "g.owl"),
+                                   prefix_df))
+    nt = _stmt_keys(import_ntriples(spark, str(tmp_path / "g.nt"),
+                                    prefix_df))
+    assert ttl == owl == nt
+    # the restriction bnode folds into the subClassOf object JSON
+    assert any("someValuesFrom" in (o or "") for _, _, o, _, _ in ttl)
+
+
+@pytest.mark.skipif(not REF_OWL.exists(), reason="reference not mounted")
+def test_reference_ontology_roundtrip(spark, tmp_path, prefix_df):
+    """Import the reference's OWN oracle fixture (ontology.owl), export
+    to N-Triples, re-import: the two statement tables must agree at
+    P/R ≥ 0.95 — the reference's round-trip criterion."""
+    from ldtab_clj_spark.operators.export import write_ntriples
+    first = import_rdfxml(spark, str(REF_OWL), prefix_df).localCheckpoint()
+    nt_dir = str(tmp_path / "onto_nt")
+    write_ntriples(first, prefix_df, nt_dir)
+    from ldtab_clj_spark.sources.ntriples import import_ntriples
+    again = import_ntriples(spark, nt_dir, prefix_df)
+    orig, back = _stmt_keys(first), _stmt_keys(again)
+    tp = len(orig & back)
+    p, r = tp / len(back), tp / len(orig)
+    assert p >= 0.95 and r >= 0.95, (p, r, len(orig), len(back),
+                                     list(orig - back)[:3],
+                                     list(back - orig)[:3])
+
+
+@pytest.mark.skipif(not REF_OWL.exists(), reason="reference not mounted")
+def test_reference_ontology_parses_fully():
+    triples = parse_rdfxml(REF_OWL.read_text())
+    assert len(triples) == 276
+    assert sum(1 for t in triples if t[2].endswith("Restriction")) == 18
+    assert sum(1 for t in triples if t[1].endswith("#first")) == 17
