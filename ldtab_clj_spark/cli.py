@@ -135,14 +135,19 @@ def _read_db(spark, db: str):
 def cmd_export(args) -> int:
     spark = _spark()
     statements = _read_db(spark, args.db)
-    from .operators.export import write_ntriples, write_tsv
+    from .operators.export import write_ntriples, write_tsv, write_turtle
     if args.out.endswith(".tsv"):
         write_tsv(statements, args.out, sort=args.sort)
-    elif args.out.endswith(".nt") or args.out.endswith(".ttl"):
+    elif args.out.endswith(".nt"):
         prefix_df = spark.read.parquet(str(Path(args.db) / "prefix"))
         write_ntriples(statements, prefix_df, args.out)
+    elif args.out.endswith(".ttl"):
+        # cli.clj:213 accepts ttl/tsv; Turtle gets the @prefix header +
+        # CURIE compaction (export.clj:59-70)
+        prefix_df = spark.read.parquet(str(Path(args.db) / "prefix"))
+        write_turtle(statements, prefix_df, args.out)
     else:
-        print("error: unknown export extension (use .tsv or .nt)",
+        print("error: unknown export extension (use .tsv, .nt or .ttl)",
               file=sys.stderr)
         return 1
     print(f"exported {statements.count()} statements to {args.out}")

@@ -15,13 +15,14 @@ thick_rdf.clj:195-228 (row → RDF model). We emit:
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.canonical import content_hash, curie_to_iri
+from ..core.canonical import content_hash, curie_to_iri, curify_with
 from ..core.expand import expand_statement_row, merge_existential_rows
 from ..schemas import STATEMENT, THIN
 
@@ -172,4 +173,69 @@ def to_ntriples_lines(statements: DataFrame,
 def write_ntriples(statements: DataFrame, prefix_df: DataFrame,
                    path: str) -> None:
     to_ntriples_lines(statements, prefix_df) \
+        .write.mode("overwrite").text(path)
+
+
+_PN_OK = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*:"
+                    r"[A-Za-z0-9_][A-Za-z0-9_.\-]*$")
+
+
+def to_turtle_lines(statements: DataFrame,
+                    prefix_df: DataFrame) -> DataFrame:
+    """K3/K4 Turtle form (export.clj:59-70, thick_rdf.clj:217-228):
+    thin-triple rows → Turtle lines with CURIE compaction against the
+    broadcast prefix map. Distributed analog of Jena's TURTLE_BLOCKS
+    stream writer: every PARTITION is a standalone valid Turtle
+    document (its own ``@prefix`` header), so a directory of part files
+    is a valid Turtle dataset and each part parses independently."""
+    prefix_list = [(r["prefix"], r["base"]) for r in prefix_df.collect()]
+    prefixes = dict(prefix_list)
+    thin = expand_df(statements)
+    header = [f"@prefix {p}: <{b}> ." for p, b in
+              sorted(prefix_list)] + [""]
+
+    def term(v: str, blank: bool) -> str:
+        if blank:
+            return v.replace("_:", "_:b")
+        iri = curie_to_iri(v, prefixes)
+        c = curify_with(iri, prefix_list)
+        if c.startswith("<") or not _PN_OK.match(c):
+            return f"<{iri}>"
+        return c
+
+    def literal(v: str, dt: str) -> str:
+        lex = (v.replace("\\", "\\\\").replace('"', '\\"')
+               .replace("\n", "\\n").replace("\r", "\\r")
+               .replace("\t", "\\t"))
+        if dt.startswith("@"):
+            return f'"{lex}"{dt}'
+        if dt in ("xsd:string",
+                  "<http://www.w3.org/2001/XMLSchema#string>"):
+            return f'"{lex}"'
+        return f'"{lex}"^^{term(dt, False)}'
+
+    def fmt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        first = True
+        for pdf in batches:
+            lines = [] if not first else list(header)
+            first = False
+            for s, p, o, dt, bs, bo in zip(
+                    pdf["subject"], pdf["predicate"], pdf["object"],
+                    pdf["datatype"], pdf["is_blank_s"], pdf["is_blank_o"]):
+                if bo or dt == "_JSONMAP":
+                    obj = o.replace("_:", "_:b")
+                elif dt == "_IRI":
+                    obj = term(o, False)
+                else:
+                    obj = literal(o, dt)
+                lines.append(f"{term(s, bs)} {term(p, False)} {obj} .")
+            if lines:
+                yield pd.DataFrame({"value": lines})
+
+    return thin.mapInPandas(fmt, "value string")
+
+
+def write_turtle(statements: DataFrame, prefix_df: DataFrame,
+                 path: str) -> None:
+    to_turtle_lines(statements, prefix_df) \
         .write.mode("overwrite").text(path)

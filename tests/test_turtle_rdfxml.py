@@ -152,6 +152,49 @@ def test_reference_ontology_roundtrip(spark, tmp_path, prefix_df):
                                      list(back - orig)[:3])
 
 
+def test_turtle_export_roundtrip(spark, tmp_path, prefix_df):
+    """write_turtle emits parseable Turtle with an @prefix header and
+    compacted CURIEs; re-importing it reproduces the statement table
+    (K3 parity: export.clj:59-70)."""
+    from ldtab_clj_spark.operators.export import write_turtle
+    from ldtab_clj_spark.plans.pipeline import build_statements
+    from ldtab_clj_spark.synth import entity_dictionary, synth_docs
+    docs = synth_docs(spark, 40, seed=21)
+    statements = build_statements(docs, entity_dictionary(spark)) \
+        .localCheckpoint()
+    out = str(tmp_path / "out_ttl")
+    write_turtle(statements, prefix_df, out)
+    # header present + compaction actually happened
+    parts = sorted(Path(out).glob("part-*"))
+    text = parts[0].read_text()
+    assert text.startswith("@prefix ")
+    assert "ex:" in text
+    again = import_turtle(spark, out, prefix_df)
+    orig, back = _stmt_keys(statements), _stmt_keys(again)
+    tp = len(orig & back)
+    p, r = tp / len(back), tp / len(orig)
+    assert p >= 0.95 and r >= 0.95, (p, r, len(orig), len(back),
+                                     list(orig - back)[:3],
+                                     list(back - orig)[:3])
+
+
+@pytest.mark.skipif(not REF_OWL.exists(), reason="reference not mounted")
+def test_reference_ontology_turtle_export(spark, tmp_path, prefix_df):
+    """ontology.owl → statements → Turtle → re-import ≥ 0.95 P/R: the
+    reference's own fixture through the presentational-parity path."""
+    from ldtab_clj_spark.operators.export import write_turtle
+    first = import_rdfxml(spark, str(REF_OWL), prefix_df).localCheckpoint()
+    out = str(tmp_path / "onto_ttl")
+    write_turtle(first, prefix_df, out)
+    again = import_turtle(spark, out, prefix_df)
+    orig, back = _stmt_keys(first), _stmt_keys(again)
+    tp = len(orig & back)
+    p, r = tp / len(back), tp / len(orig)
+    assert p >= 0.95 and r >= 0.95, (p, r, len(orig), len(back),
+                                     list(orig - back)[:3],
+                                     list(back - orig)[:3])
+
+
 @pytest.mark.skipif(not REF_OWL.exists(), reason="reference not mounted")
 def test_reference_ontology_parses_fully():
     triples = parse_rdfxml(REF_OWL.read_text())
