@@ -140,12 +140,14 @@ def cmd_export(args) -> int:
         write_tsv(statements, args.out, sort=args.sort)
     elif args.out.endswith(".nt"):
         prefix_df = spark.read.parquet(str(Path(args.db) / "prefix"))
-        write_ntriples(statements, prefix_df, args.out)
+        write_ntriples(statements, prefix_df, args.out,
+                       typed_owl=args.typed_owl)
     elif args.out.endswith(".ttl"):
         # cli.clj:213 accepts ttl/tsv; Turtle gets the @prefix header +
         # CURIE compaction (export.clj:59-70)
         prefix_df = spark.read.parquet(str(Path(args.db) / "prefix"))
-        write_turtle(statements, prefix_df, args.out)
+        write_turtle(statements, prefix_df, args.out,
+                     typed_owl=args.typed_owl)
     else:
         print("error: unknown export extension (use .tsv, .nt or .ttl)",
               file=sys.stderr)
@@ -200,6 +202,8 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("export");  sp.add_argument("db")
     sp.add_argument("out")
     sp.add_argument("--sort", action="store_true")
+    sp.add_argument("--typed-owl", action="store_true",
+                    help="OWL-constructor export (thick2thin.clj arms)")
     sp.set_defaults(fn=cmd_export)
     sp = sub.add_parser("diff");    sp.add_argument("db")
     sp.add_argument("new_tsv");     sp.set_defaults(fn=cmd_diff)

@@ -32,12 +32,23 @@ def parse_json_tolerant(value: Any) -> Any:
 
 class _Expander:
     """Per-row expansion state: emits thin triples, mints deterministic
-    blank labels ``_:h<rowhash>n<counter>``."""
+    blank labels ``_:h<rowhash>n<counter>``.
 
-    def __init__(self, row_key: str):
+    ``typed_owl=True`` additionally routes predicate maps through the
+    typed OWL constructors (thick2thin.clj:294-314 restriction
+    dispatch, :460-466 class ctors, :545-551 datatype ctors,
+    :554-576 typed-map dispatch) — the OWL-faithful export that
+    normalizes cardinality literals to xsd:nonNegativeInteger and drops
+    non-constructor keys from class expressions. thick2thin.clj is dead
+    code in the reference CLI (no namespace requires it); only the arms
+    its own corpus exercises are ported, the rest falls back to the
+    generic expansion."""
+
+    def __init__(self, row_key: str, typed_owl: bool = False):
         self.triples: list[dict] = []
         self.row_hash = content_hash(row_key)
         self.counter = 0
+        self.typed_owl = typed_owl
 
     def fresh_blank(self) -> str:
         self.counter += 1
@@ -53,12 +64,150 @@ class _Expander:
 
     def predicate_map(self, pmap: dict) -> str:
         """thick_rdf.clj:66-75 — a JSON predicate map becomes a fresh
-        blank node with one triple per (predicate, leaf)."""
+        blank node with one triple per (predicate, leaf). In typed-OWL
+        mode, recognized OWL constructs take the constructor path."""
+        if self.typed_owl:
+            bnode = self.typed_map(pmap)
+            if bnode is not None:
+                return bnode
         bnode = self.fresh_blank()
         for pred, leaves in pmap.items():
             for leaf in leaves:
                 obj, dt = self.leaf(leaf)
                 self.emit(bnode, pred, obj, dt)
+        return bnode
+
+    # ---- typed OWL constructors (thick2thin.clj, opt-in) ----
+
+    def _first_leaf(self, pmap: dict, key: str):
+        """curry-predicate-map (thick2thin.clj:49) — single value per
+        constructor key."""
+        leaves = pmap.get(key) or []
+        return leaves[0] if leaves else None
+
+    def _translate(self, leaf: dict) -> tuple[str, str]:
+        """translate (thick2thin.clj:594-598): compound → constructor
+        bnode, atom → IRI."""
+        if leaf is None:
+            return "owl:Nothing", "_IRI"   # defensive; ref would NPE
+        return self.leaf(leaf)
+
+    def typed_map(self, pmap: dict):
+        """translate-object-map / translate-typed-map / -untyped-map
+        (thick2thin.clj:586-592, 566-576, 578-583). Returns the
+        constructor bnode, or None → generic expansion."""
+        types = [le.get("object") for le in pmap.get("rdf:type", [])]
+        t = types[0] if len(types) == 1 else None
+        if t == "owl:Restriction":
+            return self.restriction(pmap)
+        if t == "owl:Class":
+            return self.class_expr(pmap, "owl:Class",
+                                   ("owl:intersectionOf", "owl:unionOf",
+                                    "owl:oneOf", "owl:complementOf"))
+        if t == "rdfs:Datatype":
+            return self.class_expr(pmap, "rdfs:Datatype",
+                                   ("owl:intersectionOf", "owl:unionOf",
+                                    "owl:oneOf",
+                                    "owl:datatypeComplementOf"))
+        if t == "owl:AllDisjointClasses":
+            return self.members_ctor(pmap, "owl:AllDisjointClasses",
+                                     "owl:members")
+        if t == "owl:AllDifferent":
+            # reference reads owl:distinctMembers but EMITS owl:members
+            # (thick2thin.clj:430-446, its own TODO) — ported verbatim
+            return self.members_ctor(pmap, "owl:AllDifferent",
+                                     "owl:distinctMembers")
+        if t is None and "owl:inverseOf" in pmap:
+            # translate-inverse-of (thick2thin.clj:449-458): no rdf:type
+            bnode = self.fresh_blank()
+            o, dt = self._translate(self._first_leaf(pmap,
+                                                     "owl:inverseOf"))
+            self.emit(bnode, "owl:inverseOf", o, dt)
+            return bnode
+        return None
+
+    _CARDINALITIES = (
+        # (key, qualified-with-onClass) in reference dispatch order
+        # (thick2thin.clj:296-311)
+        ("owl:minCardinality", False),
+        ("owl:minQualifiedCardinality", True),
+        ("owl:maxCardinality", False),
+        ("owl:maxQualifiedCardinality", True),
+        ("owl:cardinality", False),
+        ("owl:qualifiedCardinality", True),
+    )
+
+    def restriction(self, pmap: dict):
+        """translate-restriction (thick2thin.clj:294-314)."""
+        def emit_base(bnode):
+            o, dt = self._translate(self._first_leaf(pmap,
+                                                     "owl:onProperty"))
+            self.emit(bnode, "owl:onProperty", o, dt)
+
+        for key in ("owl:someValuesFrom", "owl:allValuesFrom"):
+            if key in pmap:
+                bnode = self.fresh_blank()
+                emit_base(bnode)
+                o, dt = self._translate(self._first_leaf(pmap, key))
+                self.emit(bnode, key, o, dt)
+                self.emit(bnode, "rdf:type", "owl:Restriction", "_IRI")
+                return bnode
+        for key, qualified in self._CARDINALITIES:
+            if key in pmap and (not qualified or "owl:onClass" in pmap):
+                bnode = self.fresh_blank()
+                emit_base(bnode)
+                card = self._first_leaf(pmap, key) or {}
+                # create-jena-typed-literal normalizes the cardinality
+                # datatype (thick2thin.clj:90-95,235-246)
+                self.emit(bnode, key, card.get("object"),
+                          "xsd:nonNegativeInteger")
+                if qualified:
+                    o, dt = self._translate(
+                        self._first_leaf(pmap, "owl:onClass"))
+                    self.emit(bnode, "owl:onClass", o, dt)
+                self.emit(bnode, "rdf:type", "owl:Restriction", "_IRI")
+                return bnode
+        if "owl:hasSelf" in pmap:
+            bnode = self.fresh_blank()
+            emit_base(bnode)
+            self.emit(bnode, "owl:hasSelf", "true", "xsd:boolean")
+            self.emit(bnode, "rdf:type", "owl:Restriction", "_IRI")
+            return bnode
+        if "owl:hasValue" in pmap:
+            bnode = self.fresh_blank()
+            emit_base(bnode)
+            o, dt = self._translate(self._first_leaf(pmap,
+                                                     "owl:hasValue"))
+            self.emit(bnode, "owl:hasValue", o, dt)
+            self.emit(bnode, "rdf:type", "owl:Restriction", "_IRI")
+            return bnode
+        # onDataRange-qualified cardinalities: reference cond falls
+        # through to nil (its open TODO) — we fall back to generic
+        return None
+
+    def class_expr(self, pmap: dict, rdf_type: str, ctors: tuple):
+        """translate-class / translate-datatype (thick2thin.clj:460-466,
+        545-551): emit ONLY the constructor property + rdf:type —
+        non-constructor keys are dropped (OWL normalization)."""
+        for key in ctors:
+            if key in pmap:
+                bnode = self.fresh_blank()
+                o, dt = self._translate(self._first_leaf(pmap, key))
+                self.emit(bnode, key, o, dt)
+                self.emit(bnode, "rdf:type", rdf_type, "_IRI")
+                return bnode
+        return None
+
+    def members_ctor(self, pmap: dict, rdf_type: str, read_key: str):
+        """translate-all-disjoint-classes / -all-different
+        (thick2thin.clj:412-446): members list + rdf:type."""
+        leaf = self._first_leaf(pmap, read_key)
+        if leaf is None:
+            return None
+        bnode = self.fresh_blank()
+        o, dt = self._translate(leaf)
+        self.emit(bnode, "owl:members", o, dt)
+        self.emit(bnode, "rdf:type", rdf_type, "_IRI")
         return bnode
 
     def rdf_list(self, items: list) -> str:
@@ -128,17 +277,19 @@ class _Expander:
                                     leaf["annotation"])
 
 
-def expand_statement_row(row: dict) -> list[dict]:
+def expand_statement_row(row: dict, typed_owl: bool = False) -> list[dict]:
     """One statement-table row → thin triples (thick_rdf.clj:195-215).
 
     GCI JSON subjects expand to a bnode subject; single wiring-subject
     rows drop their base triple (the skolem is synthetic) but are
     handled by ``merge_existential_rows`` upstream when multi-row.
+    ``typed_owl`` switches predicate maps to the thick2thin.clj OWL
+    constructors (see _Expander docstring).
     """
     key = "\x1f".join(str(row.get(k)) for k in
                       ("subject", "predicate", "object", "datatype",
                        "annotation"))
-    ex = _Expander(key)
+    ex = _Expander(key, typed_owl=typed_owl)
 
     subject_json = parse_json_tolerant(row["subject"])
     if isinstance(subject_json, dict):

@@ -92,7 +92,7 @@ def read_prefix_tsv(spark, path: str) -> DataFrame:
             .csv(path).select("prefix", "base"))
 
 
-def expand_df(statements: DataFrame) -> DataFrame:
+def expand_df(statements: DataFrame, typed_owl: bool = False) -> DataFrame:
     """R10/R11 as a distributed operator: statement rows → thin
     triples (one-to-many, Arrow-batched). Wiring-subject groups are
     merged first, so the input is repartitioned AND sorted by subject —
@@ -114,7 +114,7 @@ def expand_df(statements: DataFrame) -> DataFrame:
                     str(r.get(k)) for k in ("subject", "predicate",
                                             "object", "datatype",
                                             "annotation")))
-                for t in expand_statement_row(r):
+                for t in expand_statement_row(r, typed_owl=typed_owl):
                     out.append((t["subject"], t["predicate"], t["object"],
                                 t["datatype"], t["is_blank_s"],
                                 t["is_blank_o"], comp, 0))
@@ -129,14 +129,14 @@ def expand_df(statements: DataFrame) -> DataFrame:
             .mapInPandas(expand, THIN))
 
 
-def to_ntriples_lines(statements: DataFrame,
-                      prefix_df: DataFrame) -> DataFrame:
+def to_ntriples_lines(statements: DataFrame, prefix_df: DataFrame,
+                      typed_owl: bool = False) -> DataFrame:
     """K3/K4: flat-triple rows → N-Triples text lines (IRIs expanded
     via the broadcast prefix map, curie-2-uri semantics
     thick_rdf.clj:32-43). Compound rows are expanded by expand_df
     first; literals are quoted with datatype/lang tags."""
     prefixes = {r["prefix"]: r["base"] for r in prefix_df.collect()}
-    thin = expand_df(statements)
+    thin = expand_df(statements, typed_owl=typed_owl)
 
     def fmt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def node(v: str, blank: bool) -> str:
@@ -171,8 +171,8 @@ def to_ntriples_lines(statements: DataFrame,
 
 
 def write_ntriples(statements: DataFrame, prefix_df: DataFrame,
-                   path: str) -> None:
-    to_ntriples_lines(statements, prefix_df) \
+                   path: str, typed_owl: bool = False) -> None:
+    to_ntriples_lines(statements, prefix_df, typed_owl=typed_owl) \
         .write.mode("overwrite").text(path)
 
 
@@ -180,8 +180,8 @@ _PN_OK = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*:"
                     r"[A-Za-z0-9_][A-Za-z0-9_.\-]*$")
 
 
-def to_turtle_lines(statements: DataFrame,
-                    prefix_df: DataFrame) -> DataFrame:
+def to_turtle_lines(statements: DataFrame, prefix_df: DataFrame,
+                    typed_owl: bool = False) -> DataFrame:
     """K3/K4 Turtle form (export.clj:59-70, thick_rdf.clj:217-228):
     thin-triple rows → Turtle lines with CURIE compaction against the
     broadcast prefix map. Distributed analog of Jena's TURTLE_BLOCKS
@@ -190,7 +190,7 @@ def to_turtle_lines(statements: DataFrame,
     is a valid Turtle dataset and each part parses independently."""
     prefix_list = [(r["prefix"], r["base"]) for r in prefix_df.collect()]
     prefixes = dict(prefix_list)
-    thin = expand_df(statements)
+    thin = expand_df(statements, typed_owl=typed_owl)
     header = [f"@prefix {p}: <{b}> ." for p, b in
               sorted(prefix_list)] + [""]
 
@@ -236,6 +236,6 @@ def to_turtle_lines(statements: DataFrame,
 
 
 def write_turtle(statements: DataFrame, prefix_df: DataFrame,
-                 path: str) -> None:
-    to_turtle_lines(statements, prefix_df) \
+                 path: str, typed_owl: bool = False) -> None:
+    to_turtle_lines(statements, prefix_df, typed_owl=typed_owl) \
         .write.mode("overwrite").text(path)
