@@ -6,16 +6,19 @@ A "database" is a directory of parquet tables (the SQLite-file analog):
     DB/prefix/      prefix table (init.clj:22-24)
     DB/ldtab/       key-value metadata (init.clj:18-20,34-35)
 
-Subcommands (cli.clj:336-344 dispatch):
+Subcommands (cli.clj:336-344 dispatch; -t/--table per cli.clj:24-26):
 
-    python -m ldtab_clj_spark init DB
-    python -m ldtab_clj_spark prefix DB prefix.tsv
-    python -m ldtab_clj_spark import DB INPUT [--streaming] [--dict D]
-    python -m ldtab_clj_spark export DB OUT.(tsv|nt) [--sort]
-    python -m ldtab_clj_spark diff DB NEW.tsv
+    python -m ldtab_clj_spark init DB [-t TABLE]
+    python -m ldtab_clj_spark prefix DB (prefix.tsv | --list)
+    python -m ldtab_clj_spark import DB INPUT [-t TABLE] [--graph G]
+                                     [--streaming] [--dict D]
+    python -m ldtab_clj_spark export DB OUT.(tsv|nt|ttl) [-t TABLE]
+                                     [--sort] [--typed-owl]
+    python -m ldtab_clj_spark diff DB NEW.tsv [-t TABLE]
 
-INPUT is a docs parquet dir (doc_id, spans[]) or N-Triples text
-(.nt file/dir). Export format picked by extension (cli.clj:50-52).
+INPUT is a docs parquet dir (doc_id, spans[]) or RDF text — .nt,
+.ttl (Turtle subset), .owl/.rdf (RDF/XML subset). Export format is
+picked by extension (cli.clj:50-52).
 """
 
 from __future__ import annotations
@@ -37,8 +40,10 @@ def _spark() -> SparkSession:
     return get_spark("ldtab-cli")
 
 
-def _statement_path(db: str) -> str:
-    return str(Path(db) / "statement")
+def _statement_path(db: str, table: str = "statement") -> str:
+    """cli.clj:24-26 --table: multiple statement tables per DB share
+    one prefix table, exactly like the reference's SQLite layout."""
+    return str(Path(db) / table)
 
 
 def cmd_init(args) -> int:
@@ -47,7 +52,8 @@ def cmd_init(args) -> int:
     if (db / "ldtab").exists():
         print(f"error: {args.db} already initialized", file=sys.stderr)
         return 1
-    spark.createDataFrame([], STATEMENT).write.parquet(_statement_path(args.db))
+    spark.createDataFrame([], STATEMENT).write.parquet(
+        _statement_path(args.db, args.table))
     spark.createDataFrame([], PREFIX).write.parquet(str(db / "prefix"))
     # metadata rows (init.clj:34-35)
     spark.createDataFrame(
@@ -59,6 +65,17 @@ def cmd_init(args) -> int:
 
 def cmd_prefix(args) -> int:
     spark = _spark()
+    if args.list:
+        # prefix --list (cli.clj:30,158): print the prefix table
+        rows = (spark.read.parquet(str(Path(args.db) / "prefix"))
+                .orderBy("prefix").collect())
+        for r in rows:
+            print(f"{r['prefix']}\t{r['base']}")
+        return 0
+    if not args.tsv:
+        print("error: prefix requires a TSV file (or --list)",
+              file=sys.stderr)
+        return 1
     from .operators.export import read_prefix_tsv
     read_prefix_tsv(spark, args.tsv).write.mode("overwrite") \
         .parquet(str(Path(args.db) / "prefix"))
@@ -107,11 +124,15 @@ def cmd_import(args) -> int:
         else:
             from .plans.pipeline import build_statements
             statements = build_statements(docs, entity_dict)
+    if args.graph != "graph":
+        # non-constant named graph (--graph): one value per import
+        statements = statements.withColumn("graph", F.lit(args.graph))
     # append into the existing table (the reference inserts into the
     # statement table, never truncates it); dedup-on-read resolves
     # duplicates across imports
     from .operators.materialize import write_statements
-    info = write_statements(statements, _statement_path(args.db),
+    info = write_statements(statements,
+                            _statement_path(args.db, args.table),
                             run_id=f"import-{int(time.time())}",
                             mode="append")
     if args.streaming:
@@ -124,17 +145,17 @@ def cmd_import(args) -> int:
     return 0
 
 
-def _read_db(spark, db: str):
+def _read_db(spark, db: str, table: str = "statement"):
     """Dedup-on-read: the statement table is append-only, so duplicate
     rows from repeated/replayed imports are resolved here (the contract
     every reader must apply)."""
     from .operators.materialize import dedup_statements
-    return dedup_statements(spark.read.parquet(_statement_path(db)))
+    return dedup_statements(spark.read.parquet(_statement_path(db, table)))
 
 
 def cmd_export(args) -> int:
     spark = _spark()
-    statements = _read_db(spark, args.db)
+    statements = _read_db(spark, args.db, args.table)
     from .operators.export import write_ntriples, write_tsv, write_turtle
     if args.out.endswith(".tsv"):
         write_tsv(statements, args.out, sort=args.sort)
@@ -162,7 +183,7 @@ def cmd_diff(args) -> int:
 
     from .operators.diff import apply_diff, current_state
     from .operators.export import read_tsv
-    statements = _read_db(spark, args.db)
+    statements = _read_db(spark, args.db, args.table)
     new = read_tsv(spark, args.new_tsv)
     tid = int(time.strftime("%Y%m%d%H%M%S"))  # diff.clj:75-80
     updated = apply_diff(statements, current_state(statements),
@@ -171,7 +192,7 @@ def cmd_diff(args) -> int:
                          tid)
     # write-temp-swap: never overwrite the table we are still reading
     # (localCheckpoint would pin the whole table in executor memory)
-    dst = Path(_statement_path(args.db))
+    dst = Path(_statement_path(args.db, args.table))
     tmp, bak = Path(f"{dst}_tx{tid}"), Path(f"{dst}_old")
     updated.write.mode("overwrite").parquet(str(tmp))
     written = spark.read.parquet(str(tmp))
@@ -189,23 +210,33 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ldtab_clj_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    sp = sub.add_parser("init");    sp.add_argument("db")
+    def with_table(sp):
+        # cli.clj:24-26 -t/--table: named statement table
+        sp.add_argument("-t", "--table", default="statement")
+        return sp
+
+    sp = with_table(sub.add_parser("init"));  sp.add_argument("db")
     sp.set_defaults(fn=cmd_init)
     sp = sub.add_parser("prefix");  sp.add_argument("db")
-    sp.add_argument("tsv");         sp.set_defaults(fn=cmd_prefix)
-    sp = sub.add_parser("import");  sp.add_argument("db")
+    sp.add_argument("tsv", nargs="?")
+    sp.add_argument("-l", "--list", action="store_true",
+                    help="print the prefix table (cli.clj:30,158)")
+    sp.set_defaults(fn=cmd_prefix)
+    sp = with_table(sub.add_parser("import")); sp.add_argument("db")
     sp.add_argument("input")
     sp.add_argument("--streaming", action="store_true")
     sp.add_argument("--nt", action="store_true")
     sp.add_argument("--dict")
+    sp.add_argument("--graph", default="graph",
+                    help="named graph for imported statements")
     sp.set_defaults(fn=cmd_import)
-    sp = sub.add_parser("export");  sp.add_argument("db")
+    sp = with_table(sub.add_parser("export")); sp.add_argument("db")
     sp.add_argument("out")
     sp.add_argument("--sort", action="store_true")
     sp.add_argument("--typed-owl", action="store_true",
                     help="OWL-constructor export (thick2thin.clj arms)")
     sp.set_defaults(fn=cmd_export)
-    sp = sub.add_parser("diff");    sp.add_argument("db")
+    sp = with_table(sub.add_parser("diff"));  sp.add_argument("db")
     sp.add_argument("new_tsv");     sp.set_defaults(fn=cmd_diff)
 
     args = p.parse_args(argv)

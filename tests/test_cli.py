@@ -51,3 +51,38 @@ def test_cli_workflow(spark, tmp_path, capsys):
     again = keys(spark.read.parquet(f"{db2}/statement"))
     tp = len(orig & again)
     assert tp / len(again) >= 0.95 and tp / len(orig) >= 0.95
+
+
+def test_cli_prefix_list(spark, tmp_path, capsys):
+    db = str(tmp_path / "db")
+    (tmp_path / "p.tsv").write_text(PREFIX_TSV)
+    assert main(["init", db]) == 0
+    assert main(["prefix", db, str(tmp_path / "p.tsv")]) == 0
+    capsys.readouterr()
+    assert main(["prefix", db, "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "ex\thttp://example.com/" in out
+    assert out.splitlines() == sorted(out.splitlines())
+    assert main(["prefix", db]) == 1  # no tsv, no --list → error
+
+
+def test_cli_table_and_graph(spark, tmp_path, capsys):
+    """--table isolates statement tables in one DB; --graph sets the
+    named graph (cli.clj:24-26,33-37)."""
+    db = str(tmp_path / "db")
+    (tmp_path / "p.tsv").write_text(PREFIX_TSV)
+    (tmp_path / "g.ttl").write_text(
+        "@prefix ex: <http://example.com/> .\n"
+        "ex:a ex:p ex:b .\n")
+    assert main(["init", db, "--table", "side"]) == 0
+    assert main(["prefix", db, str(tmp_path / "p.tsv")]) == 0
+    assert main(["import", db, str(tmp_path / "g.ttl"),
+                 "--table", "side", "--graph", "ex:g1"]) == 0
+    rows = spark.read.parquet(f"{db}/side").collect()
+    assert {r.graph for r in rows} == {"ex:g1"}
+    assert rows[0].subject == "ex:a"
+    # default table untouched / absent
+    import pathlib
+    assert not (pathlib.Path(db) / "statement").exists()
+    out_tsv = str(tmp_path / "side.tsv")
+    assert main(["export", db, out_tsv, "--table", "side"]) == 0
