@@ -34,6 +34,21 @@ HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q5", "a1_group_collect",
             "ann_cosine_topk", "kg_mention_extract", "diff_transactions"]
 
 
+def _ann_srp_scaled(spark, sf_dir):
+    """SRP-LSH near-dup with size-appropriate selectivity: k ≈ log2(N)
+    bits per table (the CORRECTNESS entry pins k=3 for the sf0.01
+    oracle; at bench scale that candidate volume would be quadratic in
+    the per-bucket count — the whole point of k growing with N)."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from ldtab_clj_spark.operators.similarity import (srp_banded_near_dup,
+                                                      srp_plane_tables)
+    emb = __import__("ldtab_clj_spark.queries", fromlist=["load"]) \
+        .load(spark, sf_dir, "embeddings")
+    return srp_banded_near_dup(emb, srp_plane_tables(n_tables=8,
+                                                     k_planes=8),
+                               threshold=0.4, mode="arrow")
+
+
 def main() -> None:
     from ldtab_clj_spark import queries as q
     from ldtab_clj_spark.plans.pipeline import run_pipeline
@@ -59,6 +74,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _ann_srp_scaled(spark, SF_DIR).count()
+    timings["ann_srp_near_dup"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -89,34 +89,111 @@ def srp_plane_tables(n_tables: int = 8, k_planes: int = 3,
             for t in range(n_tables)]
 
 
+def _pair_dot_udf():
+    """Arrow-vectorized pairwise dot product: Catalyst's higher-order
+    fold (_dot) is interpreted per element — fine for bucketing N rows,
+    too slow for millions of candidate PAIRS. numpy einsum is the
+    throughput path; the Catalyst fold stays the bit-exact oracle path
+    (tests pin that both agree on the corpus)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def pair_dot(a, b):
+        return pd.Series(np.einsum("ij,ij->i",
+                                   np.stack(a.to_numpy()),
+                                   np.stack(b.to_numpy())))
+    # explicit annotations: `from __future__ import annotations` would
+    # stringify inline hints, which pandas_udf can't resolve
+    pair_dot.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                                "return": pd.Series}
+    return pandas_udf(pair_dot, "double")
+
+
+def _srp_bands_arrow(embeddings: DataFrame, plane_tables,
+                     vec_col: str) -> DataFrame:
+    """(vec_id, _v, _norm, tbl, bucket) via ONE numpy matmul per Arrow
+    batch — the throughput path. The Catalyst form builds a fold
+    expression per plane (O(tables × planes × dim) literal tree):
+    bit-exact for the oracle but interpreted per element and expensive
+    to even ANALYZE at L×k=64. Sign flips from summation-order
+    differences can only nudge RECALL (candidates are exactly
+    confirmed downstream), never precision."""
+    import numpy as np
+    import pandas as pd
+    planes = np.array([p for t in plane_tables for p in t],
+                      dtype=np.float64)                    # (L*k, dim)
+    n_tables, k = len(plane_tables), len(plane_tables[0])
+    weights = (1 << np.arange(k)).astype(np.int64)
+
+    def bands(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding_d"].to_numpy())   # n × dim
+            nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+            bits = (v @ planes.T) >= 0                    # n × (L*k)
+            buckets = bits.reshape(len(pdf), n_tables, k) @ weights
+            out = pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                "_v": [row for row in v for _ in range(n_tables)],
+                "_norm": np.repeat(nrm, n_tables),
+                "tbl": np.tile(np.arange(n_tables), len(pdf)),
+                "bucket": buckets.reshape(-1),
+            })
+            yield out
+
+    src = embeddings.select("vec_id",
+                            _as_double(F.col(vec_col))
+                            .alias("embedding_d"))
+    return src.mapInPandas(
+        bands, "vec_id long, _v array<double>, _norm double, "
+               "tbl int, bucket long")
+
+
 def srp_banded_near_dup(embeddings: DataFrame,
                         plane_tables: list[list[list[float]]],
                         threshold: float = 0.95,
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        mode: str = "sql") -> DataFrame:
     """Embedding near-dup pairs via multi-table SRP-LSH — the 100 TB
     path: candidates come only from same-(table, bucket) self-joins
     (shuffle on short keys, never all-pairs), then the exact cosine
     confirms. Single-pass: one array-of-structs explode per row, no
     per-table recompute. Recall < 1 by design (1-(1-p^k)^L); the
-    brute-force ``cosine_near_dup_pairs`` is the test-scale verifier."""
-    n = with_norm(embeddings, vec_col)
-    structs = []
-    for t, planes in enumerate(plane_tables):
-        bits = []
-        for p in planes:
-            arr = F.array(*[F.lit(float(x)) for x in p])
-            bits.append(F.when(_dot(F.col("_v"), arr) >= 0, F.lit("1"))
-                        .otherwise(F.lit("0")))
-        structs.append(F.struct(F.lit(t).alias("tbl"),
-                                F.concat(*bits).alias("bucket")))
-    bands = (n.select("vec_id", "_v", "_norm",
-                      F.explode(F.array(*structs)).alias("bb"))
-             .select("vec_id", "_v", "_norm", "bb.tbl", "bb.bucket"))
+    brute-force ``cosine_near_dup_pairs`` is the test-scale verifier.
+
+    ``mode``: "sql" = pure Catalyst expressions, bit-identical to the
+    DuckDB oracle (the audited path); "arrow" = numpy-matmul bucketing
+    + vectorized pair confirm (the throughput path — same pairs on the
+    corpus, pinned by tests)."""
+    if mode == "arrow":
+        bands = _srp_bands_arrow(embeddings, plane_tables, vec_col)
+    else:
+        n = with_norm(embeddings, vec_col)
+        structs = []
+        for t, planes in enumerate(plane_tables):
+            bits = []
+            for p in planes:
+                arr = F.array(*[F.lit(float(x)) for x in p])
+                bits.append(F.when(_dot(F.col("_v"), arr) >= 0,
+                                   F.lit("1")).otherwise(F.lit("0")))
+            structs.append(F.struct(F.lit(t).alias("tbl"),
+                                    F.concat(*bits).alias("bucket")))
+        bands = (n.select("vec_id", "_v", "_norm",
+                          F.explode(F.array(*structs)).alias("bb"))
+                 .select("vec_id", "_v", "_norm", "bb.tbl", "bb.bucket"))
     a, b = bands.alias("a"), bands.alias("b")
-    return (a.join(b, ["tbl", "bucket"])
-            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-            .withColumn("sim", _dot(F.col("a._v"), F.col("b._v"))
-                        / (F.col("a._norm") * F.col("b._norm")))
+    pairs = (a.join(b, ["tbl", "bucket"])
+             .filter(F.col("a.vec_id") < F.col("b.vec_id")))
+    # same sim formula both ways (dot / (na*nb)); arrow replaces only
+    # the interpreted fold with a vectorized numpy dot
+    if mode == "arrow":
+        dot = _pair_dot_udf()(F.col("a._v"), F.col("b._v"))
+    else:
+        dot = _dot(F.col("a._v"), F.col("b._v"))
+    sim = dot / (F.col("a._norm") * F.col("b._norm"))
+    return (pairs.withColumn("sim", sim)
             .filter(F.col("sim") >= threshold)
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"))

@@ -58,6 +58,19 @@ def test_srp_banded_near_dup_recall(spark, emb):
     assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
 
 
+def test_srp_arrow_confirm_matches_sql(spark, emb):
+    """The vectorized-numpy confirm (throughput path) and the Catalyst
+    fold (oracle path) must produce identical pair sets."""
+    planes = srp_plane_tables()
+    sql = {(r.vec_a, r.vec_b)
+           for r in srp_banded_near_dup(emb, planes, 0.4,
+                                        mode="sql").collect()}
+    arrow = {(r.vec_a, r.vec_b)
+             for r in srp_banded_near_dup(emb, planes, 0.4,
+                                          mode="arrow").collect()}
+    assert sql == arrow and sql
+
+
 def test_srp_plane_tables_deterministic():
     a, b = srp_plane_tables(), srp_plane_tables()
     assert a == b
