@@ -39,11 +39,10 @@ def _ann_srp_scaled(spark, sf_dir):
     bits per table (the CORRECTNESS entry pins k=3 for the sf0.01
     oracle; at bench scale that candidate volume would be quadratic in
     the per-bucket count — the whole point of k growing with N)."""
-    from pyspark.sql import functions as F  # noqa: F401
     from ldtab_clj_spark.operators.similarity import (srp_banded_near_dup,
                                                       srp_plane_tables)
-    emb = __import__("ldtab_clj_spark.queries", fromlist=["load"]) \
-        .load(spark, sf_dir, "embeddings")
+    from ldtab_clj_spark.queries import load
+    emb = load(spark, sf_dir, "embeddings")
     return srp_banded_near_dup(emb, srp_plane_tables(n_tables=8,
                                                      k_planes=8),
                                threshold=0.4, mode="arrow")

@@ -86,6 +86,7 @@ def cmd_prefix(args) -> int:
 def cmd_import(args) -> int:
     spark = _spark()
     prefix_df = spark.read.parquet(str(Path(args.db) / "prefix"))
+    tmp_paths: list[str] = []  # per-run streaming tmp table + ckpt
     # extension sniff (cli.clj:50-52; Jena-format dispatch
     # import.clj:148-154): .nt → N-Triples, .ttl → Turtle,
     # .owl/.rdf/.rdfxml → RDF/XML, else docs parquet
@@ -114,13 +115,13 @@ def cmd_import(args) -> int:
             # both live under DB/tmp/ and are removed after the final
             # append succeeds
             run_tag = f"stream_{int(time.time())}"
-            tmp_dir = Path(args.db) / "tmp"
-            tmp_table = str(tmp_dir / run_tag)
+            tmp_paths = [str(Path(args.db) / "tmp" / run_tag),
+                         str(Path(args.db) / "tmp" / (run_tag + "_ckpt"))]
             q = run_streaming_import(
-                spark, args.input, tmp_table,
-                str(tmp_dir / (run_tag + "_ckpt")), entity_dict)
+                spark, args.input, tmp_paths[0], tmp_paths[1],
+                entity_dict)
             q.awaitTermination()
-            statements = read_stream_result(spark, tmp_table)
+            statements = read_stream_result(spark, tmp_paths[0])
         else:
             from .plans.pipeline import build_statements
             statements = build_statements(docs, entity_dict)
@@ -135,9 +136,13 @@ def cmd_import(args) -> int:
                             _statement_path(args.db, args.table),
                             run_id=f"import-{int(time.time())}",
                             mode="append")
-    if args.streaming:
+    # remove ONLY this run's tmp table/checkpoint (never all of DB/tmp —
+    # concurrent streaming imports share that directory); empty when
+    # --streaming was combined with an RDF text input (no-op there)
+    if tmp_paths:
         import shutil
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+        for p in tmp_paths:
+            shutil.rmtree(p, ignore_errors=True)
     # batch_rows is observed during the write itself (no extra count)
     print(f"imported {info['batch_rows']} statements "
           f"({info['partitions']} partitions, "

@@ -47,15 +47,27 @@ def dedup_statements(statements: DataFrame) -> DataFrame:
             .select(*STATEMENT_COLS)
 
 
-def _parquet_files(path: str) -> list[Path]:
-    return sorted(Path(path).glob("*.parquet"))
+def _is_local(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
 
 
-def _footer_rows(f: Path) -> int:
-    """Row count from the parquet footer — metadata only, no data scan.
-    (On object stores the same footer read goes through pyarrow's fs.)"""
-    import pyarrow.parquet as pq
-    return pq.ParquetFile(f).metadata.num_rows
+def _per_file_rows(spark: SparkSession, path: str) -> dict[str, int]:
+    """name → row count per output file.
+
+    Local paths: parquet footers via pyarrow — metadata only, no data
+    scan. Remote URIs (s3://, hdfs://): pathlib can't list them, so
+    fall back to one Spark job grouping on input_file_name() — a
+    footer-count-optimized scan of just-written data (on Iceberg this
+    is snapshot metadata and free)."""
+    if _is_local(path):
+        import pyarrow.parquet as pq
+        local = path[len("file:"):] if path.startswith("file:") else path
+        return {f.name: pq.ParquetFile(f).metadata.num_rows
+                for f in sorted(Path(local).glob("*.parquet"))}
+    rows = (spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .count().collect())
+    return {r["f"].rsplit("/", 1)[-1]: r["count"] for r in rows}
 
 
 def write_statements(statements: DataFrame, path: str,
@@ -84,24 +96,53 @@ def write_statements(statements: DataFrame, path: str,
                           .otherwise(0)).alias("annotated"))
     df.write.mode(mode).parquet(path)
     metrics = obs.get
+    spark = statements.sparkSession
 
-    sidecar = Path(path + "_lineage") / "lineage.json"
-    prior = []
-    if mode == "append" and sidecar.exists():
-        prior = [json.loads(line) for line in
-                 sidecar.read_text().splitlines() if line.strip()]
+    per_file = _per_file_rows(spark, path)
+    prior = _read_sidecar(spark, path) if mode == "append" else []
     known = {r["file"] for r in prior}
     ts = int(time.time())
-    new = [{"file": f.name, "rows": _footer_rows(f),
-            "run_id": run_id, "ts": ts}
-           for f in _parquet_files(path) if f.name not in known]
-    sidecar.parent.mkdir(parents=True, exist_ok=True)
-    sidecar.write_text("".join(json.dumps(r) + "\n" for r in prior + new))
+    new = [{"file": name, "rows": n, "run_id": run_id, "ts": ts}
+           for name, n in sorted(per_file.items()) if name not in known]
+    _write_sidecar(spark, path, prior + new)
 
     return {"run_id": run_id, "partitions": len(new),
             "rows": int(sum(r["rows"] for r in prior + new)),
             "batch_rows": int(metrics["rows"] or 0),
             "annotated": int(metrics["annotated"] or 0)}
+
+
+def _sidecar_file(path: str) -> Path:
+    local = path[len("file:"):] if path.startswith("file:") else path
+    return Path(local + "_lineage") / "lineage.json"
+
+
+def _read_sidecar(spark: SparkSession, path: str) -> list[dict]:
+    if _is_local(path):
+        f = _sidecar_file(path)
+        if not f.exists():
+            return []
+        return [json.loads(line) for line in
+                f.read_text().splitlines() if line.strip()]
+    try:
+        return [r.asDict() for r in
+                spark.read.json(path + "_lineage").collect()]
+    except Exception:
+        return []
+
+
+def _write_sidecar(spark: SparkSession, path: str,
+                   rows: list[dict]) -> None:
+    if _is_local(path):
+        f = _sidecar_file(path)
+        f.parent.mkdir(parents=True, exist_ok=True)
+        f.write_text("".join(json.dumps(r) + "\n" for r in rows))
+        return
+    (spark.createDataFrame(
+        [(r["file"], int(r["rows"]), r["run_id"], int(r["ts"]))
+         for r in rows],
+        "file string, rows long, run_id string, ts long")
+     .coalesce(1).write.mode("overwrite").json(path + "_lineage"))
 
 
 def read_statements(spark: SparkSession, path: str) -> DataFrame:

@@ -74,17 +74,33 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
             .select("vec_a", "vec_b"))
 
 
+_M64 = (1 << 64) - 1
+
+
+def _coeff(t: int, k: int, d: int) -> int:
+    """splitmix64-style avalanche over the (table, plane, dim) index —
+    no linear stride, so NO parameter combination can alias one plane's
+    coefficient subsequence into another's (a t*A+k*B+d scheme reuses
+    subsequences as soon as k*B+dim crosses a stride)."""
+    x = (t * 0x9E3779B97F4A7C15 + k * 0xBF58476D1CE4E5B9
+         + d * 0x94D049BB133111EB + 0x2545F4914F6CDD1D) & _M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M64
+    x ^= x >> 31
+    return x % 21 - 10
+
+
 def srp_plane_tables(n_tables: int = 8, k_planes: int = 3,
                      dim: int = 64) -> list[list[list[int]]]:
-    """Deterministic integer hyperplanes for SRP-LSH (LCG-mixed,
+    """Deterministic integer hyperplanes for SRP-LSH (avalanche-mixed,
     range -10..10). Integer coefficients are exact in IEEE double, so
     bucket signs are bit-identical across engines — verified 0
     mismatches vs DuckDB over the synthetic corpus. ``k_planes`` per
     table controls selectivity (grow with corpus size ~ log N);
     ``n_tables`` OR-ed tables trade shuffle volume for recall."""
-    return [[[(((1103515245 * (t * 289 + k * 17 + d) + 12345)
-                & 0x7fffffff) >> 16) % 21 - 10
-              for d in range(dim)]
+    return [[[_coeff(t, k, d) for d in range(dim)]
              for k in range(k_planes)]
             for t in range(n_tables)]
 

@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from ..schemas import THIN
 from .turtle import _RDF, _XSD, _to_thin
 
-_RDF_NS = _RDF[:-1] if _RDF.endswith("#") else _RDF  # keep '#' handling clear
 _XML_NS = "http://www.w3.org/XML/1998/namespace"
 
 _SYNTAX_ATTRS = {f"{{{_RDF}}}about", f"{{{_RDF}}}ID", f"{{{_RDF}}}nodeID",
@@ -184,12 +183,15 @@ def read_rdfxml(spark: SparkSession, path: str,
     files = spark.read.text(path, wholetext=True)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.canonical import content_hash
         for pdf in batches:
             rows = []
             for text in pdf["value"]:
+                # file-scope blank labels (see turtle._to_thin)
+                salt = content_hash(text)[:8]
                 rows.extend((*t, "", 0)
                             for t in _to_thin(parse_rdfxml(text),
-                                              prefixes))
+                                              prefixes, blank_salt=salt))
             yield pd.DataFrame(rows, columns=[f.name for f in THIN.fields])
 
     return files.mapInPandas(parse, THIN)

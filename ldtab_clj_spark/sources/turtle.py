@@ -40,7 +40,8 @@ _TOKEN = re.compile(r"""
       |'''(?:[^'\\]|\\.|'(?!''))*'''
       |"(?:[^"\\\n]|\\.)*"
       |'(?:[^'\\\n]|\\.)*')
-  | (?P<blank>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<blank>_:[A-Za-z0-9_](?:[A-Za-z0-9_\-]
+      |\.(?=[A-Za-z0-9_.\-]))*)
   | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<number>[+-]?(?:(?:\d+\.\d+|\.\d+|\d+)[eE][+-]?\d+
       |\d*\.\d+|\d+))
@@ -106,7 +107,11 @@ class _Parser:
 
     def resolve(self, iri: str) -> str:
         if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
-            return self.base + iri
+            if iri.startswith("#") or iri == "" or self.base.endswith(
+                    ("/", "#")):
+                return self.base + iri
+            # document-style base (…/onto.owl): trim the last segment
+            return self.base.rsplit("/", 1)[0] + "/" + iri
         return iri
 
     def pname_to_iri(self, pname: str) -> str:
@@ -289,15 +294,27 @@ def parse_turtle(text: str) -> list[tuple]:
 
 
 def _to_thin(raw: list[tuple],
-             prefixes: list[tuple[str, str]]) -> list[tuple]:
+             prefixes: list[tuple[str, str]],
+             blank_salt: str = "") -> list[tuple]:
     """Raw full-IRI triples → thin-triple tuples, CURIE-fied against
-    the prefix table exactly like sources/ntriples.py."""
+    the prefix table exactly like sources/ntriples.py.
+
+    ``blank_salt`` file-scopes blank labels: every parsed file restarts
+    its anonymous counter at _:anon1 (and user labels like _:b1 repeat
+    across files), so without a salt the component closure would merge
+    unrelated stanzas from different files into one corrupted group.
+    A content-derived salt is deterministic AND safe: two byte-equal
+    files produce byte-equal stanzas, which dedup collapses anyway."""
+    def blank(label: str) -> str:
+        return f"_:f{blank_salt}x{label[2:]}" if blank_salt else label
+
     out = []
     for s, p, o, dt in raw:
-        subject = s if s.startswith("_:") else curify_with(s, prefixes)
+        subject = blank(s) if s.startswith("_:") \
+            else curify_with(s, prefixes)
         predicate = curify_with(p, prefixes)
         if dt == "_JSONMAP":
-            obj, d = (o if o.startswith("_:")
+            obj, d = (blank(o) if o.startswith("_:")
                       else curify_with(o, prefixes)), "_JSONMAP"
             if not o.startswith("_:"):   # () → rdf:nil IRI object
                 d = "_IRI"
@@ -321,12 +338,14 @@ def read_turtle(spark: SparkSession, path: str,
     files = spark.read.text(path, wholetext=True)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.canonical import content_hash
         for pdf in batches:
             rows = []
             for text in pdf["value"]:
+                salt = content_hash(text)[:8]
                 rows.extend((*t, "", 0)
                             for t in _to_thin(parse_turtle(text),
-                                              prefixes))
+                                              prefixes, blank_salt=salt))
             yield pd.DataFrame(rows, columns=[f.name for f in THIN.fields])
 
     return files.mapInPandas(parse, THIN)

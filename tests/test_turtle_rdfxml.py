@@ -152,6 +152,43 @@ def test_reference_ontology_roundtrip(spark, tmp_path, prefix_df):
                                      list(back - orig)[:3])
 
 
+def test_blank_label_no_dot_swallow():
+    """Regression: '_:b1.' (no space before the statement terminator)
+    must tokenize as the label _:b1 followed by '.' — a label cannot
+    end in a dot."""
+    triples = parse_turtle("@prefix ex: <http://x/> .\n"
+                           "ex:s ex:p _:b1.\n_:b1 ex:q ex:o .")
+    assert ("http://x/s", "http://x/p", "_:b1", "_JSONMAP") in triples
+
+
+def test_base_document_style_resolution():
+    """Regression: a document-style @base (…/onto.owl) trims its last
+    path segment for non-fragment relative IRIs (matching rdfxml.py)."""
+    triples = parse_turtle("@base <http://ex.org/onto.owl> .\n"
+                           "<foo> <#frag> <> .")
+    assert triples == [("http://ex.org/foo", "http://ex.org/onto.owl#frag",
+                        "http://ex.org/onto.owl", "_IRI")]
+
+
+def test_multi_file_blank_labels_do_not_collide(spark, tmp_path,
+                                                prefix_df):
+    """Regression: anonymous bnode counters restart per file; without
+    file-scoped salting the component closure would merge unrelated
+    stanzas from different files of one directory import."""
+    (tmp_path / "a.ttl").write_text(
+        "@prefix ex: <http://example.com/> .\n"
+        "ex:A ex:has [ ex:tag \"one\" ] .\n")
+    (tmp_path / "b.ttl").write_text(
+        "@prefix ex: <http://example.com/> .\n"
+        "ex:B ex:has [ ex:tag \"two\" ] .\n")
+    merged = import_turtle(spark, str(tmp_path), prefix_df)
+    rows = merged.collect()
+    # each ex:has object must contain ONLY its own file's tag
+    objs = {r.subject: r.object for r in rows if r.predicate == "ex:has"}
+    assert "one" in objs["ex:A"] and "two" not in objs["ex:A"]
+    assert "two" in objs["ex:B"] and "one" not in objs["ex:B"]
+
+
 def test_turtle_export_roundtrip(spark, tmp_path, prefix_df):
     """write_turtle emits parseable Turtle with an @prefix header and
     compacted CURIEs; re-importing it reproduces the statement table
