@@ -460,6 +460,56 @@ def ann_lsh_topk(spark, sf):
                            planes, k=5)
 
 
+_MM_FORMATS = ("png", "jpeg", "wav", "mp4")
+
+
+def _mm_media(spark, sf):
+    """Deterministic media table derived from the documents table so
+    the multimodal operators get a DuckDB-reproducible input: payload =
+    ASCII bytes of repeat(md5(text), 8) (256 bytes — ASCII so DuckDB's
+    VARCHAR slicing equals byte slicing), metadata from sha256 hex
+    nibbles of the media_ref."""
+    d = load(spark, sf, "documents")
+    ref = F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string"))
+    sha = F.sha2(ref, 256)
+    byte0 = F.conv(F.substring(sha, 1, 2), 16, 10).cast("int")
+    byte4 = F.conv(F.substring(sha, 9, 2), 16, 10).cast("int")
+    fmt = F.element_at(F.array(*[F.lit(x) for x in _MM_FORMATS]),
+                       byte0 % 4 + 1)
+    payload = F.encode(F.repeat(F.md5(F.col("text")), 8), "UTF-8")
+    meta = F.struct(fmt.alias("format"),
+                    (byte0 % 64 + 16).alias("width"),
+                    (byte4 % 64 + 16).alias("height"),
+                    (byte4 % 8 + 1).alias("n_frames"))
+    return d.select(ref.alias("media_ref"), payload.alias("content"),
+                    meta.alias("meta"))
+
+
+def mm_decode_features(spark, sf):
+    """Multimodal decode plumbing, oracle-checked: the Arrow-batched
+    decode_media operator (deterministic fake decoder = first 16 bytes
+    of sha256(payload)) over the derived media table; features are
+    re-projected to their integer byte values so the hash is
+    float-free. No reference analog (north-star op, SURVEY.md §2.10)."""
+    from .operators.multimodal import decode_media
+    feats = decode_media(_mm_media(spark, sf))
+    sig = F.array_join(
+        F.transform("feature",
+                    lambda x: F.round(x * 255).cast("int").cast("string")),
+        "-")
+    return feats.select("media_ref", "format", sig.alias("feature_sig"))
+
+
+def mm_frame_sample(spark, sf):
+    """Frame-sampling plumbing, oracle-checked: sample_frames slices
+    the 256-byte ASCII payload into n_frames strides and keeps every
+    2nd frame; frames re-decoded to strings for a byte-exact oracle."""
+    from .operators.multimodal import sample_frames
+    frames = sample_frames(_mm_media(spark, sf), every=2)
+    return frames.select("media_ref", "frame_idx",
+                         F.decode("frame", "UTF-8").alias("frame_str"))
+
+
 def kg_pipeline_statements(spark, sf):
     """Flagship end-to-end KG construction on the deterministic synth
     interleaved-docs corpus. Oracle: the single-node reference path
@@ -487,6 +537,8 @@ QUERIES = {
     "ann_near_dup": ann_near_dup,
     "ann_srp_near_dup": ann_srp_near_dup,
     "ann_lsh_topk": ann_lsh_topk,
+    "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
     "s3_scan_filter_project": s3_scan_filter_project,
     "a1_group_collect": a1_group_collect,
     "a4_max_transaction": a4_max_transaction,
@@ -889,3 +941,35 @@ def _srp_oracles() -> dict[str, str]:
 
 
 ORACLE_SQL.update(_srp_oracles())
+
+
+def _hex_byte(h: str, k: int) -> str:
+    """SQL int value of byte k of hex string expr ``h`` (nibble strpos
+    arithmetic — same trick as the SimHash oracle)."""
+    return (f"(16*(strpos('0123456789abcdef', substr({h},{2*k+1},1))-1)"
+            f" + strpos('0123456789abcdef', substr({h},{2*k+2},1))-1)")
+
+
+def _mm_oracles() -> dict[str, str]:
+    media = ("SELECT 'media://doc/' || doc_id AS media_ref, "
+             "repeat(md5(text), 8) AS payload, "
+             "sha256('media://doc/' || doc_id) AS refsha "
+             "FROM documents")
+    fmts = "', '".join(_MM_FORMATS)
+    fmt = (f"['{fmts}'][({_hex_byte('refsha', 0)}) % 4 + 1]")
+    feature_sig = " || '-' || ".join(
+        _hex_byte("sha256(payload)", k) for k in range(16))
+    decode = (f"WITH m AS ({media}) "
+              f"SELECT media_ref, {fmt} AS format, "
+              f"{feature_sig} AS feature_sig FROM m")
+    frames = (f"WITH m AS ({media}), "
+              f"n AS (SELECT media_ref, payload, "
+              f"({_hex_byte('refsha', 4)}) % 8 + 1 AS nf FROM m) "
+              "SELECT media_ref, CAST(i AS INT) AS frame_idx, "
+              "substr(payload, CAST(i AS INT)*(256//nf) + 1, 256//nf) "
+              "AS frame_str "
+              "FROM n, unnest(generate_series(0, nf-1, 2)) t(i)")
+    return {"mm_decode_features": decode, "mm_frame_sample": frames}
+
+
+ORACLE_SQL.update(_mm_oracles())
