@@ -142,150 +142,17 @@ def _build_triples(doc_id: str, pos: int, text: str, m, t) -> list[tuple]:
     return []  # unrecognized span kinds carry no triples
 
 
-_THIN_COLS = [f.name for f in THIN.fields]
-
-
-def _block(parts: list, s, p, o, dt, bs, bo, doc, pos) -> None:
-    """Append one vectorized triple block (same-shape Series/scalars).
-    Series are coerced positionally — never index-aligned."""
-    def v(x):
-        return x.to_numpy() if isinstance(x, pd.Series) else x
-
-    parts.append(pd.DataFrame({
-        "subject": v(s), "predicate": v(p), "object": v(o),
-        "datatype": dt, "is_blank_s": bs, "is_blank_o": bo,
-        "doc_id": v(doc), "span_order": v(pos)}))
-
-
-def _vectorized_rows(pdf: pd.DataFrame) -> list[pd.DataFrame]:
-    """Template-dispatched vectorized parse: pandas C-regex
-    ``str.extract`` per template instead of a Python loop per span.
-    Variable-arity templates (Group) and dodged-dispatch inputs fall
-    back to the scalar ``_parse_span`` path — semantics identical
-    (pinned by the single-node-oracle P/R test, which USES the scalar
-    path)."""
-    parts: list[pd.DataFrame] = []
-    text = pdf["text"].fillna("")
-    kind = pdf["kind"]
-    doc = pdf["doc_id"]
-    pos = pdf["pos"].astype("int64")
-    pos_s = pos.astype(str)
-
-    is_media = (kind == "media").to_numpy()
-    if is_media.any():
-        d, p_ = doc[is_media], pos[is_media]
-        _block(parts, "ex:d" + d, "ex:hasMedia",
-               "<" + pdf["media_ref"].fillna("")[is_media] + ">",
-               "_IRI", False, False, d, p_)
-
-    todo = ~is_media
-    mention = "surface:"
-
-    def take(mask, regex):
-        nonlocal todo
-        sel = todo & mask.to_numpy()
-        if not sel.any():
-            return None, None, None, None
-        m = text[sel].str.extract(regex)
-        ok = m[m.columns[0]].notna().to_numpy()
-        hit = sel.copy()
-        hit[sel] = ok
-        todo &= ~hit
-        return m[ok], doc[hit], pos[hit], pos_s[hit]
-
-    # fact: "<S> <verb> <O>."
-    m, d, p_, ps = take(~text.str.startswith(("According to ", "Allegedly, ",
-                                              "Group: ", "Rule: ", "Every "))
-                        & ~text.str.endswith('".'), RE_FACT)
-    if m is not None:
-        _block(parts, mention + m[0], "ex:" + m[1], mention + m[2],
-               "_IRI", False, False, d, p_)
-
-    # label: '<S> is labeled "w".'
-    m, d, p_, ps = take(text.str.endswith('".'), RE_LABEL)
-    if m is not None:
-        _block(parts, mention + m[0], "rdfs:label", m[1], "@en",
-               False, False, d, p_)
-
-    # OWL-annotated fact (5 triples per row)
-    m, d, p_, ps = take(text.str.startswith("According to "), RE_ANNOT)
-    if m is not None:
-        bn = "_:d" + d + "p" + ps + "a"
-        _block(parts, bn, "owl:annotatedSource", mention + m[1],
-               "_IRI", True, False, d, p_)
-        _block(parts, bn, "owl:annotatedProperty", "ex:" + m[2],
-               "_IRI", True, False, d, p_)
-        _block(parts, bn, "owl:annotatedTarget", mention + m[3],
-               "_IRI", True, False, d, p_)
-        _block(parts, bn, "rdf:type", "owl:Axiom", "_IRI",
-               True, False, d, p_)
-        _block(parts, bn, "ex:assertedBy", m[0], "xsd:string",
-               True, False, d, p_)
-
-    # reification (5 triples per row)
-    m, d, p_, ps = take(text.str.startswith("Allegedly, "), RE_REIFY)
-    if m is not None:
-        bn = "_:d" + d + "p" + ps + "s"
-        _block(parts, bn, "rdf:subject", mention + m[0], "_IRI",
-               True, False, d, p_)
-        _block(parts, bn, "rdf:predicate", "ex:" + m[1], "_IRI",
-               True, False, d, p_)
-        _block(parts, bn, "rdf:object", mention + m[2], "_IRI",
-               True, False, d, p_)
-        _block(parts, bn, "rdf:type", "rdf:Statement", "_IRI",
-               True, False, d, p_)
-        _block(parts, bn, "ex:source", m[3], "xsd:string",
-               True, False, d, p_)
-
-    # GCI rule (4 triples per row)
-    m, d, p_, ps = take(text.str.startswith("Rule: "), RE_RULE)
-    if m is not None:
-        bn = "_:d" + d + "p" + ps + "r"
-        _block(parts, bn, "rdf:type", "owl:Restriction", "_IRI",
-               True, False, d, p_)
-        _block(parts, bn, "owl:onProperty", "ex:" + m[0], "_IRI",
-               True, False, d, p_)
-        _block(parts, bn, "owl:someValuesFrom", mention + m[1], "_IRI",
-               True, False, d, p_)
-        _block(parts, bn, "rdfs:subClassOf", mention + m[2], "_IRI",
-               True, False, d, p_)
-
-    # subclass restriction (4 triples per row)
-    m, d, p_, ps = take(text.str.startswith("Every "), RE_RESTR)
-    if m is not None:
-        bn = "_:d" + d + "p" + ps + "r"
-        _block(parts, mention + m[0], "rdfs:subClassOf", bn, "_JSONMAP",
-               False, True, d, p_)
-        _block(parts, bn, "rdf:type", "owl:Restriction", "_IRI",
-               True, False, d, p_)
-        _block(parts, bn, "owl:onProperty", "ex:" + m[1], "_IRI",
-               True, False, d, p_)
-        _block(parts, bn, "owl:someValuesFrom", mention + m[2], "_IRI",
-               True, False, d, p_)
-
-    # variable-arity (Group) + anything the dispatch missed: scalar path
-    if todo.any():
-        rows = []
-        for doc_id, pos_v, text_v in zip(doc[todo], pos[todo], text[todo]):
-            for t in _parse_span(doc_id, int(pos_v), "text", text_v, ""):
-                rows.append((*t, doc_id, int(pos_v)))
-        if rows:
-            parts.append(pd.DataFrame(rows, columns=_THIN_COLS))
-    return parts
-
-
 def parse_spans_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched span parser (the mention-detection pandas UDF):
-    vectorized template dispatch, one C-regex extract per template."""
+    """Arrow-batched span parser (the mention-detection pandas UDF)."""
     for pdf in batches:
-        if not len(pdf):
-            continue
-        parts = _vectorized_rows(pdf)
-        parts = [p[_THIN_COLS] for p in parts if len(p)]
-        if parts:
-            yield pd.concat(parts, ignore_index=True)
-        else:
-            yield pd.DataFrame(columns=_THIN_COLS)
+        rows = []
+        for doc_id, pos, kind, text, media in zip(
+                pdf["doc_id"], pdf["pos"], pdf["kind"], pdf["text"],
+                pdf["media_ref"]):
+            for s, p, o, dt, bs, bo in _parse_span(
+                    doc_id, int(pos), kind, text or "", media or ""):
+                rows.append((s, p, o, dt, bs, bo, doc_id, int(pos)))
+        yield pd.DataFrame(rows, columns=[f.name for f in THIN.fields])
 
 
 def extract_thin_triples(docs: DataFrame) -> DataFrame:
