@@ -339,11 +339,31 @@ def ann_cosine_topk(spark, sf):
 
 def kg_mention_extract(spark, sf):
     """Mention detection over the flat documents table: closed
-    vocabulary containment scan (broadcast nested-loop by design)."""
+    vocabulary containment scan (broadcast nested-loop — intentional
+    for a 4-word vocabulary; kg_mention_extract_join is the
+    real-vocabulary scale path)."""
     vocab = spark.createDataFrame(
         [("spark",), ("join",), ("filter",), ("window",)], "word string")
     d = load(spark, sf, "documents")
     return (d.join(F.broadcast(vocab), F.col("text").contains(F.col("word")))
+            .select("doc_id", F.col("word").alias("entity"),
+                    F.lit("ex:mentions").alias("predicate")))
+
+
+def kg_mention_extract_join(spark, sf):
+    """Tokenize-and-join mention detection — the scale path for a real
+    vocabulary: explode to (doc_id, token), equi-join the vocab
+    (broadcast here; shuffle hash join when the dictionary outgrows the
+    broadcast threshold). Word-boundary semantics, unlike the
+    containment scan."""
+    vocab = spark.createDataFrame(
+        [("spark",), ("join",), ("filter",), ("window",)], "word string")
+    d = load(spark, sf, "documents")
+    words = (d.select("doc_id",
+                      F.explode(F.split(F.lower(F.col("text")),
+                                        r"[^a-z0-9]+")).alias("word"))
+             .filter(F.col("word") != "").distinct())
+    return (words.join(F.broadcast(vocab), "word")
             .select("doc_id", F.col("word").alias("entity"),
                     F.lit("ex:mentions").alias("predicate")))
 
@@ -572,6 +592,7 @@ QUERIES = {
     "text_winnow": text_winnow,
     "ann_cosine_topk": ann_cosine_topk,
     "kg_mention_extract": kg_mention_extract,
+    "kg_mention_extract_join": kg_mention_extract_join,
     "diff_transactions": diff_transactions,
 }
 
@@ -865,6 +886,11 @@ ORACLE_SQL = {
         "SELECT doc_id, word AS entity, 'ex:mentions' AS predicate "
         "FROM documents JOIN (VALUES ('spark'),('join'),('filter'),"
         "('window')) v(word) ON contains(text, word)",
+    "kg_mention_extract_join":
+        "SELECT DISTINCT doc_id, w AS entity, "
+        "'ex:mentions' AS predicate FROM documents, "
+        "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) t(w) "
+        "WHERE w IN ('spark','join','filter','window')",
     "diff_transactions":
         "WITH old AS (SELECT 'graph' AS graph, "
         "'ex:o' || o_orderkey AS subject, 'ex:status' AS predicate, "

@@ -68,23 +68,13 @@ def main() -> None:
               "scaling_efficiency": round(eff, 3),
               "ts": int(time.time())}
     print(json.dumps(result))
-    bench_dir = REPO / "BENCH"
-    bench_dir.mkdir(exist_ok=True)
-    md = bench_dir / "BASELINE.md"
-    lines = [] if not md.exists() else [md.read_text()]
-    if not lines:
-        lines.append(
-            "# BENCH/BASELINE — measured numbers\n\n"
-            "KG pipeline (synth docs → extract → link → thin→thick → "
-            "dedup → count), identical input at two parallelism levels "
-            "(sandbox stand-in for N vs 4N executors; target "
-            "efficiency ≥ 0.8 per BASELINE.json north_rule).\n\n"
-            "| docs | statements | local[N] rows/s | local[4N] rows/s "
-            "| efficiency |\n|---|---|---|---|---|\n")
-    lines.append(
-        f"| {n_docs} | {r_hi['rows']} | {r_lo['rows_per_sec']:.0f} "
-        f"| {r_hi['rows_per_sec']:.0f} | {eff:.3f} |\n")
-    md.write_text("".join(lines))
+    # append raw runs to a jsonl log; BENCH/BASELINE.md is curated by
+    # hand (raw markdown rows appended to its tail kept landing outside
+    # the tables)
+    log = REPO / "BENCH" / "scaling_runs.jsonl"
+    log.parent.mkdir(exist_ok=True)
+    with log.open("a") as f:
+        f.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":
