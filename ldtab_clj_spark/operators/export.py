@@ -176,8 +176,37 @@ def write_ntriples(statements: DataFrame, prefix_df: DataFrame,
         .write.mode("overwrite").text(path)
 
 
+# PN_LOCAL may not END with '.' (a trailing dot is the statement
+# terminator) — caught by hypothesis (tests/test_property.py)
 _PN_OK = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*:"
-                    r"[A-Za-z0-9_][A-Za-z0-9_.\-]*$")
+                    r"[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?$")
+
+
+def turtle_term(v: str, blank: bool, prefixes: dict,
+                prefix_list: list) -> str:
+    """One Turtle term: blank label, prefixed name (when the compaction
+    is PN-valid) or <iri>."""
+    if blank:
+        return v.replace("_:", "_:b")
+    iri = curie_to_iri(v, prefixes)
+    c = curify_with(iri, prefix_list)
+    if c.startswith("<") or not _PN_OK.match(c):
+        return f"<{iri}>"
+    return c
+
+
+def turtle_literal(v: str, dt: str, prefixes: dict,
+                   prefix_list: list) -> str:
+    """Quoted Turtle literal with escapes + lang/datatype tag."""
+    lex = (v.replace("\\", "\\\\").replace('"', '\\"')
+           .replace("\n", "\\n").replace("\r", "\\r")
+           .replace("\t", "\\t"))
+    if dt.startswith("@"):
+        return f'"{lex}"{dt}'
+    if dt in ("xsd:string",
+              "<http://www.w3.org/2001/XMLSchema#string>"):
+        return f'"{lex}"'
+    return f'"{lex}"^^{turtle_term(dt, False, prefixes, prefix_list)}'
 
 
 def to_turtle_lines(statements: DataFrame, prefix_df: DataFrame,
@@ -195,24 +224,10 @@ def to_turtle_lines(statements: DataFrame, prefix_df: DataFrame,
               sorted(prefix_list)] + [""]
 
     def term(v: str, blank: bool) -> str:
-        if blank:
-            return v.replace("_:", "_:b")
-        iri = curie_to_iri(v, prefixes)
-        c = curify_with(iri, prefix_list)
-        if c.startswith("<") or not _PN_OK.match(c):
-            return f"<{iri}>"
-        return c
+        return turtle_term(v, blank, prefixes, prefix_list)
 
     def literal(v: str, dt: str) -> str:
-        lex = (v.replace("\\", "\\\\").replace('"', '\\"')
-               .replace("\n", "\\n").replace("\r", "\\r")
-               .replace("\t", "\\t"))
-        if dt.startswith("@"):
-            return f'"{lex}"{dt}'
-        if dt in ("xsd:string",
-                  "<http://www.w3.org/2001/XMLSchema#string>"):
-            return f'"{lex}"'
-        return f'"{lex}"^^{term(dt, False)}'
+        return turtle_literal(v, dt, prefixes, prefix_list)
 
     def fmt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         first = True

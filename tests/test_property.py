@@ -63,3 +63,55 @@ def test_jsonlist_keeps_order_everywhere(items):
     v = {"k": [{"datatype": "_JSONLIST", "object": items}]}
     out = sort_json(v)
     assert out["k"][0]["object"] == [sort_json(x) for x in items]
+
+
+# ---- Turtle writer ↔ parser escaping round trip (pure Python) ----
+
+_TTL_PREFIXES = [("ex", "http://example.com/"),
+                 ("xsd", "http://www.w3.org/2001/XMLSchema#")]
+_TTL_PMAP = dict(_TTL_PREFIXES)
+
+# printable + the escape-relevant controls + some unicode
+_lit_text = st.text(
+    alphabet=st.characters(codec="utf-8",
+                           exclude_categories=("Cs",),
+                           include_characters='\n\r\t"\\'),
+    max_size=40)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_lit_text, st.sampled_from(["xsd:string", "@en", "xsd:int",
+                                   "ex:custom"]))
+def test_turtle_literal_roundtrip(value, dt):
+    """turtle_literal's escaping must survive the Turtle parser for
+    ANY string content (quotes, backslashes, newlines, unicode)."""
+    from ldtab_clj_spark.operators.export import turtle_literal
+    from ldtab_clj_spark.sources.turtle import parse_turtle
+    lit = turtle_literal(value, dt, _TTL_PMAP, _TTL_PREFIXES)
+    doc = ("@prefix ex: <http://example.com/> .\n"
+           "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+           f"ex:s ex:p {lit} .\n")
+    triples = parse_turtle(doc)
+    assert len(triples) == 1
+    s, p, o, parsed_dt = triples[0]
+    assert o == value
+    if dt == "@en":
+        assert parsed_dt == "@en"
+    else:
+        assert parsed_dt == _TTL_PMAP[dt.split(":")[0]] + dt.split(":")[1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcXYZ0129_./%-", min_size=1, max_size=20))
+def test_turtle_term_roundtrip(local):
+    """turtle_term must emit something the parser reads back as the
+    same IRI — prefixed name when PN-safe, <iri> otherwise."""
+    from ldtab_clj_spark.operators.export import turtle_term
+    from ldtab_clj_spark.sources.turtle import parse_turtle
+    iri = "http://example.com/" + local
+    term = turtle_term(f"<{iri}>", False, _TTL_PMAP, _TTL_PREFIXES)
+    doc = ("@prefix ex: <http://example.com/> .\n"
+           f"ex:s ex:p {term} .\n")
+    triples = parse_turtle(doc)
+    assert len(triples) == 1
+    assert triples[0][2] == iri, (term, triples[0])
