@@ -129,6 +129,27 @@ def expand_df(statements: DataFrame, typed_owl: bool = False) -> DataFrame:
             .mapInPandas(expand, THIN))
 
 
+def nt_node(v: str, blank: bool, prefixes: dict) -> str:
+    """One N-Triples subject/predicate term."""
+    if blank:
+        return v.replace("_:", "_:b")
+    return f"<{curie_to_iri(v, prefixes)}>"
+
+
+def nt_object(v: str, dt: str, blank: bool, prefixes: dict) -> str:
+    """One N-Triples object term (IRI, blank, or escaped literal)."""
+    if blank or dt == "_JSONMAP":
+        return v.replace("_:", "_:b")
+    if dt == "_IRI":
+        return f"<{curie_to_iri(v, prefixes)}>"
+    lex = (v.replace("\\", "\\\\").replace('"', '\\"')
+           .replace("\n", "\\n").replace("\r", "\\r")
+           .replace("\t", "\\t"))
+    if dt.startswith("@"):
+        return f'"{lex}"{dt}'
+    return f'"{lex}"^^<{curie_to_iri(dt, prefixes)}>'
+
+
 def to_ntriples_lines(statements: DataFrame, prefix_df: DataFrame,
                       typed_owl: bool = False) -> DataFrame:
     """K3/K4: flat-triple rows → N-Triples text lines (IRIs expanded
@@ -140,22 +161,10 @@ def to_ntriples_lines(statements: DataFrame, prefix_df: DataFrame,
 
     def fmt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def node(v: str, blank: bool) -> str:
-            if blank:
-                return v.replace("_:", "_:b")
-            iri = curie_to_iri(v, prefixes)
-            return f"<{iri}>"
+            return nt_node(v, blank, prefixes)
 
         def obj(v: str, dt: str, blank: bool) -> str:
-            if blank or dt == "_JSONMAP":
-                return v.replace("_:", "_:b")
-            if dt == "_IRI":
-                return f"<{curie_to_iri(v, prefixes)}>"
-            lex = (v.replace("\\", "\\\\").replace('"', '\\"')
-                   .replace("\n", "\\n").replace("\r", "\\r")
-                   .replace("\t", "\\t"))
-            if dt.startswith("@"):
-                return f'"{lex}"{dt}'
-            return f'"{lex}"^^<{curie_to_iri(dt, prefixes)}>'
+            return nt_object(v, dt, blank, prefixes)
 
         for pdf in batches:
             lines = [

@@ -115,3 +115,23 @@ def test_turtle_term_roundtrip(local):
     triples = parse_turtle(doc)
     assert len(triples) == 1
     assert triples[0][2] == iri, (term, triples[0])
+
+
+@settings(max_examples=300, deadline=None)
+@given(_lit_text, st.sampled_from(["xsd:string", "@en", "xsd:int",
+                                   "ex:custom"]))
+def test_ntriples_literal_roundtrip(value, dt):
+    """nt_object's escaping must survive parse_nt_line for any string
+    content (NT has no multiline forms — every control char must be
+    escaped on one line)."""
+    from ldtab_clj_spark.operators.export import nt_object
+    from ldtab_clj_spark.sources.ntriples import parse_nt_line
+    lit = nt_object(value, dt, False, _TTL_PMAP)
+    line = f"<http://example.com/s> <http://example.com/p> {lit} ."
+    t = parse_nt_line(line, _TTL_PREFIXES)
+    assert t is not None, line
+    assert t[2] == value
+    if dt == "@en":
+        assert t[3] == "@en"
+    else:
+        assert t[3] == dt  # CURIE-fied back by the prefix table
