@@ -145,6 +145,48 @@ def _write_sidecar(spark: SparkSession, path: str,
      .coalesce(1).write.mode("overwrite").json(path + "_lineage"))
 
 
+def _iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of configured Iceberg catalogs (spark.sql.catalog.<name>
+    pointing at an Iceberg SparkCatalog implementation)."""
+    out = []
+    for k, v in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 \
+                and "iceberg" in v.lower():
+            out.append(k.rsplit(".", 1)[-1])
+    return out
+
+
+def write_statements_iceberg(statements: DataFrame, table: str,
+                             run_id: str = "run-1") -> dict:
+    """The north-rule Iceberg sink: subject-partitioned append via the
+    DataFrameWriterV2 API, snapshot metadata as the lineage record.
+
+    This container ships no Iceberg runtime jars (and no network to
+    fetch them), so the seam raises a clear error unless the session
+    has an Iceberg catalog configured; ``write_statements`` (parquet +
+    JSON-lines sidecar, same idempotent-append contract) is the
+    sandbox stand-in used everywhere else. On a real cluster:
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime
+    plus a catalog conf makes this path live with no code change."""
+    spark = statements.sparkSession
+    if not _iceberg_catalogs(spark):
+        raise RuntimeError(
+            "no Iceberg catalog configured on this session "
+            "(spark.sql.catalog.<name> = o.a.iceberg.spark.SparkCatalog)"
+            " — use write_statements (parquet + lineage sidecar) or "
+            "configure Iceberg (operators/materialize.py)")
+    obs = Observation()
+    df = (statements.repartition("subject")
+          .observe(obs, F.count(F.lit(1)).alias("rows")))
+    df.writeTo(table).append()
+    snap = (spark.sql(f"SELECT snapshot_id, committed_at FROM "
+                      f"{table}.snapshots ORDER BY committed_at DESC "
+                      f"LIMIT 1").collect())
+    return {"run_id": run_id,
+            "batch_rows": int(obs.get["rows"] or 0),
+            "snapshot_id": snap[0]["snapshot_id"] if snap else None}
+
+
 def read_statements(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

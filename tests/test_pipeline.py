@@ -135,3 +135,15 @@ def test_materialize_append_lineage_deltas(spark, tmp_path, statements):
         by_run[r["run_id"]] += r["rows"]
     assert by_run == {"r1": n, "r2": n}
     assert verify_lineage(spark, out)
+
+
+def test_iceberg_sink_seam(spark, statements):
+    """No Iceberg runtime in this container: the sink must fail fast
+    with an actionable message, not an opaque analysis error."""
+    import pytest
+
+    from ldtab_clj_spark.operators.materialize import (
+        _iceberg_catalogs, write_statements_iceberg)
+    assert _iceberg_catalogs(spark) == []
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        write_statements_iceberg(statements, "cat.db.statement")
