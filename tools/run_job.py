@@ -2,9 +2,9 @@
 spark-submit --py-files on multi-executor clusters").
 
 Usage:
-    python ldtab_clj_spark/session.py zip    # or let get_spark build it
-    spark-submit --py-files /tmp/ldtab_clj_spark_pyfiles.zip \
-        tools/run_job.py [n_docs] [out_path]
+    ZIP=$(python -c "from ldtab_clj_spark.session import _package_zip; \
+print(_package_zip())")     # content-hash-named package zip
+    spark-submit --py-files "$ZIP" tools/run_job.py [n_docs] [out_path]
 
 On a cluster, point --master at YARN/K8s; the job itself is
 master-agnostic (no local-path assumptions beyond out_path).
