@@ -185,10 +185,12 @@ def write_ntriples(statements: DataFrame, prefix_df: DataFrame,
         .write.mode("overwrite").text(path)
 
 
-# PN_LOCAL may not END with '.' (a trailing dot is the statement
-# terminator) — caught by hypothesis (tests/test_property.py)
-_PN_OK = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*:"
-                    r"[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?$")
+# neither PN_PREFIX nor PN_LOCAL may END with '.' (a trailing dot is
+# the statement terminator) — the local case was caught by hypothesis
+# (tests/test_property.py); the prefix case is the same grammar rule
+_PN_OK = re.compile(
+    r"^[A-Za-z_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?:"
+    r"[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?$")
 
 
 def turtle_term(v: str, blank: bool, prefixes: dict,

@@ -147,13 +147,20 @@ def _write_sidecar(spark: SparkSession, path: str,
 
 def _iceberg_catalogs(spark: SparkSession) -> list[str]:
     """Names of configured Iceberg catalogs (spark.sql.catalog.<name>
-    pointing at an Iceberg SparkCatalog implementation)."""
+    pointing at an Iceberg SparkCatalog implementation). Reads the
+    SESSION confs via ``SET`` — runtime-registered catalogs
+    (spark.conf.set after startup) are honored, which the
+    context-creation snapshot (sparkContext.getConf) would miss."""
     out = []
-    for k, v in spark.sparkContext.getConf().getAll():
+    for row in spark.sql("SET").collect():
+        k, v = row["key"], str(row["value"])
         if k.startswith("spark.sql.catalog.") and k.count(".") == 3 \
                 and "iceberg" in v.lower():
             out.append(k.rsplit(".", 1)[-1])
     return out
+
+
+_RUN_PROP = "ldtab.run_id"  # snapshot summary key tagging our commits
 
 
 def write_statements_iceberg(statements: DataFrame, table: str,
@@ -178,10 +185,15 @@ def write_statements_iceberg(statements: DataFrame, table: str,
     obs = Observation()
     df = (statements.repartition("subject")
           .observe(obs, F.count(F.lit(1)).alias("rows")))
-    df.writeTo(table).append()
-    snap = (spark.sql(f"SELECT snapshot_id, committed_at FROM "
-                      f"{table}.snapshots ORDER BY committed_at DESC "
-                      f"LIMIT 1").collect())
+    # stamp the commit with this run's id (Iceberg snapshot summary
+    # property) so the lineage query finds OUR snapshot even when other
+    # writers append concurrently — latest-snapshot would misattribute
+    df.writeTo(table).option(f"snapshot-property.{_RUN_PROP}",
+                             run_id).append()
+    snap = (spark.sql(
+        f"SELECT snapshot_id FROM {table}.snapshots "
+        f"WHERE summary['{_RUN_PROP}'] = '{run_id}' "
+        "ORDER BY committed_at DESC LIMIT 1").collect())
     return {"run_id": run_id,
             "batch_rows": int(obs.get["rows"] or 0),
             "snapshot_id": snap[0]["snapshot_id"] if snap else None}

@@ -363,7 +363,10 @@ def kg_mention_extract_join(spark, sf):
                       F.explode(F.split(F.lower(F.col("text")),
                                         r"[^a-z0-9]+")).alias("word"))
              .filter(F.col("word") != "").distinct())
-    return (words.join(F.broadcast(vocab), "word")
+    # no broadcast hint: the optimizer broadcasts under the threshold
+    # and degrades to a shuffle join when the dictionary outgrows it —
+    # a forced hint would collect a multi-GB vocabulary to the driver
+    return (words.join(vocab, "word")
             .select("doc_id", F.col("word").alias("entity"),
                     F.lit("ex:mentions").alias("predicate")))
 
@@ -480,7 +483,7 @@ def ann_lsh_topk(spark, sf):
                            planes, k=5)
 
 
-_MM_FORMATS = ("png", "jpeg", "wav", "mp4")
+from .operators.multimodal import _FORMATS as _MM_FORMATS  # noqa: E402
 
 
 def _mm_media(spark, sf):
