@@ -62,21 +62,34 @@ def main() -> None:
     # tools/bench_scaling.py)
     run_pipeline(spark, n_docs=200, seed=1).count()
 
+    def best_of(fn, trials=2):
+        """Shared-box spikes (GC, co-tenants) hit single shots hard —
+        best-of-2 per query damps them at 2× suite cost."""
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
     # flagship: KG pipeline; throughput = statement rows / sec
-    t0 = time.perf_counter()
-    n_rows = run_pipeline(spark, n_docs=N_DOCS, seed=42).count()
-    kg_sec = time.perf_counter() - t0
+    n_rows = 0
+
+    def kg():
+        nonlocal n_rows
+        n_rows = run_pipeline(spark, n_docs=N_DOCS, seed=42).count()
+
+    kg_sec = best_of(kg)
     timings["kg_pipeline"] = round(kg_sec, 3)
 
     for name in HEADLINE:
         fn = q.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(
+            best_of(lambda: fn(spark, SF_DIR).count()), 3)
 
-    t0 = time.perf_counter()
-    _ann_srp_scaled(spark, SF_DIR).count()
-    timings["ann_srp_near_dup"] = round(time.perf_counter() - t0, 3)
+    timings["ann_srp_near_dup"] = round(
+        best_of(lambda: _ann_srp_scaled(spark, SF_DIR).count()), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
