@@ -147,3 +147,17 @@ def test_iceberg_sink_seam(spark, statements):
     assert _iceberg_catalogs(spark) == []
     with pytest.raises(RuntimeError, match="Iceberg catalog"):
         write_statements_iceberg(statements, "cat.db.statement")
+
+
+def test_pipeline_invariant_to_partition_count(spark):
+    """The statement set must be a pure function of the corpus — not of
+    parallelism (the resumability/determinism premise of the north
+    rule: N and 4N executors produce identical output)."""
+    from ldtab_clj_spark.synth import synth_docs
+
+    def stmts(partitions):
+        docs = synth_docs(spark, 80, seed=11, partitions=partitions)
+        df = build_statements(docs, entity_dictionary(spark))
+        return {row_key(r) for r in df.collect()}
+
+    assert stmts(2) == stmts(16)
