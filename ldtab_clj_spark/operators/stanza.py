@@ -31,11 +31,37 @@ _OUT_COLS = [f.name for f in STATEMENT.fields]
 _EMIT_EVERY = 20_000  # rows per yielded Arrow batch
 
 
+def _ground_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized pass-through for GROUND rows (no blank subject or
+    object): blank labels never occur in them, so the whole rewrite
+    chain (root detection, typing, folding, canonical sort, skolem
+    rehash) reduces to identity on them — emit statement rows columnar
+    with no per-row Python. Within-doc exact-duplicate collapse moves
+    to the global dedup every consumer applies."""
+    n = len(pdf)
+    return pd.DataFrame({
+        "assertion": pd.Series([1] * n, dtype="int64"),
+        "retraction": pd.Series([0] * n, dtype="int64"),
+        "graph": "graph",
+        "subject": pdf["subject"].to_numpy(),
+        "predicate": pdf["predicate"].to_numpy(),
+        "object": pdf["object"].to_numpy(),
+        "datatype": pdf["datatype"].fillna("_IRI").to_numpy(),
+        "annotation": pd.Series([None] * n, dtype="object"),
+    })
+
+
 def _partition_stanzas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # rows arrive sorted by doc_id (sortWithinPartitions upstream);
     # grouped_batches carries boundary-straddling docs between batches
     out: list[dict] = []
     for pdf in grouped_batches(batches, "doc_id"):
+        ground_mask = (~pdf["is_blank_s"] & ~pdf["is_blank_o"]).to_numpy()
+        if ground_mask.any():
+            yield _ground_rows(pdf[ground_mask])
+            if ground_mask.all():
+                continue
+            pdf = pdf[~ground_mask]
         # zip over raw column arrays + run-length grouping on the
         # sorted doc_id column: ~5× cheaper than pandas group dispatch
         cols = [pdf[c].to_numpy() for c in ("doc_id", *_THIN_COLS)]
