@@ -184,7 +184,8 @@ def srp_banded_near_dup(embeddings: DataFrame,
     + vectorized pair confirm (the throughput path — same pairs on the
     corpus, pinned by tests)."""
     if mode == "arrow":
-        bands = _srp_bands_arrow(embeddings, plane_tables, vec_col)
+        bands = _srp_bands_arrow(embeddings, plane_tables, vec_col) \
+            .select("vec_id", "tbl", "bucket")
     else:
         n = with_norm(embeddings, vec_col)
         structs = []
@@ -196,24 +197,39 @@ def srp_banded_near_dup(embeddings: DataFrame,
                                    F.lit("1")).otherwise(F.lit("0")))
             structs.append(F.struct(F.lit(t).alias("tbl"),
                                     F.concat(*bits).alias("bucket")))
-        bands = (n.select("vec_id", "_v", "_norm",
+        bands = (n.select("vec_id",
                           F.explode(F.array(*structs)).alias("bb"))
-                 .select("vec_id", "_v", "_norm", "bb.tbl", "bb.bucket"))
+                 .select("vec_id", "bb.tbl", "bb.bucket"))
+    # candidate pairs from the NARROW band relation, deduped BEFORE the
+    # exact confirm: a true near-dup collides in several of the L
+    # tables, so confirming per (tbl, bucket) duplicate would run the
+    # dot product up to L times per pair AND drag the vectors through
+    # the band shuffle; joining vectors back per UNIQUE pair is two
+    # narrow hash joins instead
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (a.join(b, ["tbl", "bucket"])
-             .filter(F.col("a.vec_id") < F.col("b.vec_id")))
-    # same sim formula both ways (dot / (na*nb)); arrow replaces only
-    # the interpreted fold with a vectorized numpy dot
-    if mode == "arrow":
-        dot = _pair_dot_udf()(F.col("a._v"), F.col("b._v"))
-    else:
-        dot = _dot(F.col("a._v"), F.col("b._v"))
-    sim = dot / (F.col("a._norm") * F.col("b._norm"))
-    return (pairs.withColumn("sim", sim)
-            .filter(F.col("sim") >= threshold)
+    cand = (a.join(b, ["tbl", "bucket"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"))
             .distinct())
+    vecs = with_norm(embeddings, vec_col).select("vec_id", "_v", "_norm")
+    va = vecs.select(F.col("vec_id").alias("vec_a"),
+                     F.col("_v").alias("_va"),
+                     F.col("_norm").alias("_na"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"),
+                     F.col("_v").alias("_vb"),
+                     F.col("_norm").alias("_nb"))
+    pairs = cand.join(va, "vec_a").join(vb, "vec_b")
+    # same sim formula both ways (dot / (na*nb)); arrow replaces only
+    # the interpreted fold with a vectorized numpy dot
+    if mode == "arrow":
+        dot = _pair_dot_udf()(F.col("_va"), F.col("_vb"))
+    else:
+        dot = _dot(F.col("_va"), F.col("_vb"))
+    sim = dot / (F.col("_na") * F.col("_nb"))
+    return (pairs.withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select("vec_a", "vec_b"))
 
 
 def srp_bucket(df: DataFrame, planes: list[list[float]],
