@@ -80,12 +80,16 @@ class _Parser:
     (subject, predicate, object, datatype) with full IRIs; blank nodes
     are ``_:`` labels, anonymous ones minted file-locally."""
 
+    MAX_NEST = 200  # [..]/(..) nesting guard: a TurtleError beats a
+    #                 RecursionError tearing down the executor task
+
     def __init__(self, text: str):
         self.toks = list(_tokens(text))
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self.anon = 0
+        self.depth = 0
         self.triples: list[tuple] = []
 
     def peek(self):
@@ -257,20 +261,29 @@ class _Parser:
             return lex, _XSD + "string"
         raise TurtleError(f"bad object {tok!r}")
 
+    def _enter(self):
+        self.depth += 1
+        if self.depth > self.MAX_NEST:
+            raise TurtleError(f"nesting deeper than {self.MAX_NEST}")
+
     def bnode_property_list(self) -> str:
+        self._enter()
         self.expect("[")
         bnode = self.fresh_blank()
         if self.peek()[1] != "]":
             self.predicate_object_list(bnode)
         self.expect("]")
+        self.depth -= 1
         return bnode
 
     def collection(self) -> str:
+        self._enter()
         self.expect("(")
         items = []
         while self.peek()[1] != ")":
             items.append(self.object_term())
         self.next()
+        self.depth -= 1
         if not items:
             return _RDF + "nil"          # caller emits it as _JSONMAP;
             #                              components treats it as label
