@@ -117,17 +117,62 @@ def map_subject_to_triples(triples: list[dict]) -> dict[str, list[dict]]:
     return out
 
 
+def _fold_list_chain(node: str, subject_map: dict[str, list[dict]],
+                     depth: int) -> Any:
+    """Iteratively materialize a PURE rdf:first/rdf:rest chain's nested
+    predicate-map form (identical to what per-cell recursion builds) —
+    recursion depth would otherwise equal LIST LENGTH, so a >64-member
+    owl:members/oneOf list (common in real ontologies) tripped the
+    nesting guard. Returns None when the node isn't a pure chain cell
+    (extra predicates, multiple values, shared/cyclic cells) — the
+    recursive path handles those, with the guard intact."""
+    cells, cur, seen = [], node, set()
+    while True:
+        if cur in seen:
+            return None  # cyclic chain → recursive path raises (cycle?)
+        seen.add(cur)
+        triples = subject_map.get(cur, [])
+        firsts = [t for t in triples if t["predicate"] == "rdf:first"]
+        rests = [t for t in triples if t["predicate"] == "rdf:rest"]
+        if len(triples) != 2 or len(firsts) != 1 or len(rests) != 1:
+            return None
+        cells.append((firsts[0], rests[0]))
+        if rests[0].get("is_blank_o"):
+            cur = rests[0]["object"]
+            continue
+        break  # chain ends at an IRI (normally rdf:nil)
+    tail = None
+    for first_t, rest_t in reversed(cells):
+        first_entry = {
+            "object": node_to_thick_map(first_t["object"],
+                                        bool(first_t.get("is_blank_o")),
+                                        subject_map, depth + 1),
+            "datatype": first_t["datatype"]}
+        if tail is None:
+            rest_entry = {"object": rest_t["object"],
+                          "datatype": rest_t["datatype"]}
+        else:
+            rest_entry = {"object": tail, "datatype": "_JSONMAP"}
+        tail = {"rdf:first": [first_entry], "rdf:rest": [rest_entry]}
+    return tail
+
+
 def node_to_thick_map(node: str, is_blank: bool,
                       subject_map: dict[str, list[dict]],
                       depth: int = 0) -> Any:
     """Collapse a blank node into a predicate map, recursively
     (thin2thick.clj:193-214); non-blank nodes are already encoded
-    strings (extractor pre-CURIE-fies, cf. encode-node :178-191)."""
+    strings (extractor pre-CURIE-fies, cf. encode-node :178-191).
+    Pure RDF-list chains take an iterative path so list LENGTH never
+    counts against the nesting guard."""
     if not is_blank:
         return node
     if depth > _MAX_DEPTH:
         raise ValueError(f"blank-node nesting exceeds {_MAX_DEPTH} "
                          f"(cycle?) at {node!r}")
+    chain = _fold_list_chain(node, subject_map, depth)
+    if chain is not None:
+        return chain
     pmap: dict[str, list] = {}
     for t in subject_map.get(node, []):
         entry = {"object": node_to_thick_map(t["object"],

@@ -147,24 +147,20 @@ def _srp_bands_arrow(embeddings: DataFrame, plane_tables,
             if not len(pdf):
                 continue
             v = np.stack(pdf["embedding_d"].to_numpy())   # n × dim
-            nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
             bits = (v @ planes.T) >= 0                    # n × (L*k)
             buckets = bits.reshape(len(pdf), n_tables, k) @ weights
-            out = pd.DataFrame({
+            # NARROW output only — vectors never cross Arrow here (the
+            # confirm stage joins them back per unique candidate pair)
+            yield pd.DataFrame({
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
-                "_v": [row for row in v for _ in range(n_tables)],
-                "_norm": np.repeat(nrm, n_tables),
                 "tbl": np.tile(np.arange(n_tables), len(pdf)),
                 "bucket": buckets.reshape(-1),
             })
-            yield out
 
     src = embeddings.select("vec_id",
                             _as_double(F.col(vec_col))
                             .alias("embedding_d"))
-    return src.mapInPandas(
-        bands, "vec_id long, _v array<double>, _norm double, "
-               "tbl int, bucket long")
+    return src.mapInPandas(bands, "vec_id long, tbl int, bucket long")
 
 
 def srp_banded_near_dup(embeddings: DataFrame,
@@ -184,8 +180,7 @@ def srp_banded_near_dup(embeddings: DataFrame,
     + vectorized pair confirm (the throughput path — same pairs on the
     corpus, pinned by tests)."""
     if mode == "arrow":
-        bands = _srp_bands_arrow(embeddings, plane_tables, vec_col) \
-            .select("vec_id", "tbl", "bucket")
+        bands = _srp_bands_arrow(embeddings, plane_tables, vec_col)
     else:
         n = with_norm(embeddings, vec_col)
         structs = []
@@ -227,9 +222,12 @@ def srp_banded_near_dup(embeddings: DataFrame,
     else:
         dot = _dot(F.col("_va"), F.col("_vb"))
     sim = dot / (F.col("_na") * F.col("_nb"))
+    # terminal distinct: duplicate vec_ids in the INPUT (un-deduped
+    # appends) would otherwise multiply pairs through the vector joins
     return (pairs.withColumn("sim", sim)
             .filter(F.col("sim") >= threshold)
-            .select("vec_a", "vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct())
 
 
 def srp_bucket(df: DataFrame, planes: list[list[float]],

@@ -36,8 +36,11 @@ def _ground_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     object): blank labels never occur in them, so the whole rewrite
     chain (root detection, typing, folding, canonical sort, skolem
     rehash) reduces to identity on them — emit statement rows columnar
-    with no per-row Python. Within-doc exact-duplicate collapse moves
-    to the global dedup every consumer applies."""
+    with no per-row Python. Output parity with the Python path is
+    exact (the chain never collapsed duplicate ground triples either:
+    root_triples emits one row per input triple after the per-subject
+    (s,p,o,dt) probe-map dedup, which global dedup_statements subsumes
+    anyway)."""
     n = len(pdf)
     return pd.DataFrame({
         "assertion": pd.Series([1] * n, dtype="int64"),

@@ -80,8 +80,12 @@ class _Parser:
     (subject, predicate, object, datatype) with full IRIs; blank nodes
     are ``_:`` labels, anonymous ones minted file-locally."""
 
-    MAX_NEST = 200  # [..]/(..) nesting guard: a TurtleError beats a
-    #                 RecursionError tearing down the executor task
+    MAX_NEST = 64   # [..]/(..) nesting guard, aligned with the stanza
+    #                 chain's _MAX_DEPTH (core/thick.py): a parse-time
+    #                 TurtleError beats a RecursionError (or the later
+    #                 misleading "cycle?" ValueError) in an executor
+    #                 task. Collections don't nest per ELEMENT — long
+    #                 lists are fine (iterative fold in core/thick.py)
 
     def __init__(self, text: str):
         self.toks = list(_tokens(text))

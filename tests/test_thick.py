@@ -349,3 +349,45 @@ def test_dedup_preserves_history_rows(spark):
     rows = {(r.assertion, r.retraction) for r in
             dedup_statements(df).collect()}
     assert rows == {(1, 5), (7, 0)}
+
+
+def test_long_rdf_list_folds_iteratively():
+    """Regression: recursion depth used to equal LIST LENGTH, so a
+    >64-member owl:members/oneOf list tripped the nesting guard
+    ("blank-node nesting exceeds 64") — real ontologies have long
+    lists. Pure chains now fold iteratively with order preserved."""
+    from ldtab_clj_spark.core.thick import thin_to_thick
+    n = 300
+    thin = [{"subject": "ex:D", "predicate": "owl:members",
+             "object": "_:l0", "datatype": "_JSONMAP",
+             "is_blank_s": False, "is_blank_o": True}]
+    for i in range(n):
+        thin.append({"subject": f"_:l{i}", "predicate": "rdf:first",
+                     "object": f"ex:m{i}", "datatype": "_IRI",
+                     "is_blank_s": True, "is_blank_o": False})
+        last = i + 1 == n
+        thin.append({"subject": f"_:l{i}", "predicate": "rdf:rest",
+                     "object": "rdf:nil" if last else f"_:l{i+1}",
+                     "datatype": "_IRI" if last else "_JSONMAP",
+                     "is_blank_s": True, "is_blank_o": not last})
+    out = thin_to_thick(thin)
+    assert len(out) == 1
+    row = out[0]
+    assert row["datatype"] == "_JSONLIST"
+    assert [e["object"] for e in row["object"]] == \
+        [f"ex:m{i}" for i in range(n)]
+
+
+def test_deep_non_list_nesting_still_guarded():
+    """The cycle/depth guard still fires for genuinely deep non-list
+    blank trees."""
+    import pytest
+
+    from ldtab_clj_spark.core.thick import thin_to_thick
+    thin = []
+    for i in range(80):
+        thin.append({"subject": f"_:b{i}", "predicate": "ex:child",
+                     "object": f"_:b{i+1}", "datatype": "_JSONMAP",
+                     "is_blank_s": True, "is_blank_o": True})
+    with pytest.raises(ValueError, match="nesting exceeds"):
+        thin_to_thick(thin)
