@@ -238,3 +238,24 @@ def test_reference_ontology_parses_fully():
     assert len(triples) == 276
     assert sum(1 for t in triples if t[2].endswith("Restriction")) == 18
     assert sum(1 for t in triples if t[1].endswith("#first")) == 17
+
+
+def test_long_collection_roundtrip(spark, tmp_path, prefix_df):
+    """A 100-member collection imports (iterative list fold — used to
+    crash the stanza chain at >64), exports to Turtle, and re-imports
+    to the same statement set."""
+    from ldtab_clj_spark.operators.export import write_turtle
+    members = " ".join(f"ex:m{i}" for i in range(100))
+    (tmp_path / "long.ttl").write_text(
+        "@prefix ex: <http://example.com/> .\n"
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        f"ex:D a owl:AllDisjointClasses ; owl:members ( {members} ) .\n")
+    first = import_turtle(spark, str(tmp_path / "long.ttl"), prefix_df) \
+        .localCheckpoint()
+    rows = first.collect()
+    assert any(r.datatype == "_JSONLIST" and r.object.count("ex:m") == 100
+               for r in rows)
+    out = str(tmp_path / "long_out")
+    write_turtle(first, prefix_df, out)
+    again = import_turtle(spark, out, prefix_df)
+    assert _stmt_keys(first) == _stmt_keys(again)
