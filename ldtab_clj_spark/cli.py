@@ -92,8 +92,21 @@ def cmd_import(args) -> int:
     # .owl/.rdf/.rdfxml → RDF/XML, else docs parquet
     ext = Path(args.input.rstrip("/")).suffix.lower()
     if ext == ".nt" or args.nt:
-        from .sources.ntriples import import_ntriples
-        statements = import_ntriples(spark, args.input, prefix_df)
+        if args.streaming:
+            # the reference's actual --streaming surface: incremental
+            # RDF import, one file per micro-batch (import.clj:142-184)
+            from .streaming.pipeline import (read_stream_result,
+                                             run_streaming_import_nt)
+            run_tag = f"stream_{int(time.time())}"
+            tmp_paths = [str(Path(args.db) / "tmp" / run_tag),
+                         str(Path(args.db) / "tmp" / (run_tag + "_ckpt"))]
+            q = run_streaming_import_nt(
+                spark, args.input, tmp_paths[0], tmp_paths[1], prefix_df)
+            q.awaitTermination()
+            statements = read_stream_result(spark, tmp_paths[0])
+        else:
+            from .sources.ntriples import import_ntriples
+            statements = import_ntriples(spark, args.input, prefix_df)
     elif ext == ".ttl":
         from .sources.turtle import import_turtle
         statements = import_turtle(spark, args.input, prefix_df)
@@ -137,8 +150,7 @@ def cmd_import(args) -> int:
                             run_id=f"import-{int(time.time())}",
                             mode="append")
     # remove ONLY this run's tmp table/checkpoint (never all of DB/tmp —
-    # concurrent streaming imports share that directory); empty when
-    # --streaming was combined with an RDF text input (no-op there)
+    # concurrent streaming imports share that directory)
     if tmp_paths:
         import shutil
         for p in tmp_paths:

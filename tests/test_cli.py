@@ -86,3 +86,35 @@ def test_cli_table_and_graph(spark, tmp_path, capsys):
     assert not (pathlib.Path(db) / "statement").exists()
     out_tsv = str(tmp_path / "side.tsv")
     assert main(["export", db, out_tsv, "--table", "side"]) == 0
+
+
+def test_cli_streaming_nt_import(spark, tmp_path):
+    """import --streaming with an .nt input takes the incremental path
+    (reference: import.clj:142-184) and matches a plain import."""
+    db1, db2 = str(tmp_path / "db1"), str(tmp_path / "db2")
+    (tmp_path / "p.tsv").write_text(PREFIX_TSV)
+    nt_dir = tmp_path / "in_nt"
+    nt_dir.mkdir()
+    (nt_dir / "a.nt").write_text(
+        "<http://example.com/a> <http://example.com/p> "
+        "<http://example.com/b> .\n"
+        "_:r <http://example.com/q> \"lit\" .\n")
+    (nt_dir / "b.nt").write_text(
+        "<http://example.com/c> <http://example.com/p> "
+        "<http://example.com/d> .\n")
+    for db, flags in ((db1, ["--streaming"]), (db2, [])):
+        assert main(["init", db]) == 0
+        assert main(["prefix", db, str(tmp_path / "p.tsv")]) == 0
+        assert main(["import", db, str(nt_dir) + "/", "--nt"]
+                    + flags) == 0
+
+    def keys(df):
+        return {(r.subject, r.predicate, r.object, r.datatype,
+                 r.annotation) for r in df.collect()}
+
+    s = keys(spark.read.parquet(f"{db1}/statement"))
+    b = keys(spark.read.parquet(f"{db2}/statement"))
+    assert s == b and len(s) == 3
+    # per-run tmp table/checkpoint cleaned up
+    import pathlib
+    assert not list(pathlib.Path(db1, "tmp").glob("*"))

@@ -142,3 +142,35 @@ def test_watermarked_window_agg_stream_equals_batch(spark, tmp_path):
     for k, v in got.items():
         assert want[k] == v, k
     assert len(got) >= len(want) * 0.5, (len(got), len(want))
+
+
+def test_streaming_nt_import_equals_batch(spark, tmp_path):
+    """Incremental N-Triples import (the reference's --streaming
+    surface): one file per micro-batch, blank components resolved per
+    file, cross-batch annotation backlog — final table equals the
+    batch import of the same files."""
+    from ldtab_clj_spark.operators.export import write_ntriples
+    from ldtab_clj_spark.sources.ntriples import import_ntriples
+    from ldtab_clj_spark.streaming.pipeline import run_streaming_import_nt
+    prefix_df = spark.createDataFrame(
+        [("ex", "http://example.com/"),
+         ("rdf", "http://www.w3.org/1999/02/22-rdf-syntax-ns#"),
+         ("rdfs", "http://www.w3.org/2000/01/rdf-schema#"),
+         ("owl", "http://www.w3.org/2002/07/owl#"),
+         ("xsd", "http://www.w3.org/2001/XMLSchema#")],
+        "prefix string, base string")
+    # three .nt files with self-contained stanzas (incl. blanks +
+    # annotations) from the synth pipeline's NT export
+    docs = synth_docs(spark, 45, seed=17)
+    statements = build_statements(docs, entity_dictionary(spark)) \
+        .localCheckpoint()
+    nt_dir = str(tmp_path / "nt_in")
+    write_ntriples(statements.repartition(3), prefix_df, nt_dir)
+
+    table = str(tmp_path / "stream_table")
+    q = run_streaming_import_nt(spark, nt_dir, table,
+                                str(tmp_path / "ckpt"), prefix_df)
+    q.awaitTermination()
+    streamed = key_set(read_stream_result(spark, table))
+    batch = key_set(import_ntriples(spark, nt_dir, prefix_df))
+    assert streamed == batch and streamed
