@@ -230,6 +230,59 @@ def srp_banded_near_dup(embeddings: DataFrame,
             .distinct())
 
 
+def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
+                    n_centroids: int = 16, n_probe: int = 2, k: int = 5,
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: assign every corpus vector to its nearest
+    centroid (the inverted-file bucket), search only the query's
+    ``n_probe`` nearest buckets — the other classic bucketed ANN shape
+    next to SRP-LSH (shuffle on centroid ids, never all-pairs).
+
+    Centroids are the first ``n_centroids`` corpus vectors — a
+    deterministic stand-in for a k-means pass (which would converge to
+    data-dependent floats that no cross-engine oracle could reproduce);
+    at scale, plug trained centroids in as a small broadcast table.
+    Returns (query_id, neighbor_id, rnk); recall < 1 by design,
+    ``cosine_topk`` is the exact verifier."""
+    cent = (with_norm(embeddings.filter(F.col("vec_id") < n_centroids),
+                      vec_col)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("_v").alias("_c"),
+                    F.col("_norm").alias("_cnorm")))
+    corpus = with_norm(embeddings, vec_col).select("vec_id", "_v", "_norm")
+    csim = (_dot(F.col("_v"), F.col("_c"))
+            / (F.col("_norm") * F.col("_cnorm")))
+    scored = (corpus.join(F.broadcast(cent))
+              .withColumn("csim", csim))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cent_id"))
+    assigned = (scored.withColumn("crnk", F.row_number().over(w_assign))
+                .filter(F.col("crnk") == 1)
+                .select("vec_id", "_v", "_norm", "cent_id"))
+    probes = (with_norm(queries, vec_col)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("_v").alias("_q"),
+                      F.col("_norm").alias("_qnorm"))
+              .join(F.broadcast(cent))
+              .withColumn("csim", _dot(F.col("_q"), F.col("_c"))
+                          / (F.col("_qnorm") * F.col("_cnorm")))
+              .withColumn("crnk", F.row_number().over(
+                  Window.partitionBy("query_id").orderBy(
+                      F.desc("csim"), F.asc("cent_id"))))
+              .filter(F.col("crnk") <= n_probe)
+              .select("query_id", "_q", "_qnorm", "cent_id"))
+    scored = (assigned.join(F.broadcast(probes), "cent_id")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("sim", _dot(F.col("_v"), F.col("_q"))
+                          / (F.col("_norm") * F.col("_qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rnk"))
+
+
 def srp_bucket(df: DataFrame, planes: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Sign-random-projection bucket id: one bit per hyperplane."""

@@ -472,6 +472,16 @@ def ann_srp_near_dup(spark, sf):
                                srp_plane_tables(), threshold=0.4)
 
 
+def ann_ivf_topk(spark, sf):
+    """IVF-bucketed ANN top-k (inverted file over deterministic
+    centroids, n_probe=2) — the other classic bucketed scale path next
+    to SRP-LSH. No reference analog (north-star op, SURVEY.md §2.10)."""
+    from .operators.similarity import ivf_cosine_topk
+    emb = load(spark, sf, "embeddings")
+    return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
+                           n_centroids=16, n_probe=2, k=5)
+
+
 def ann_lsh_topk(spark, sf):
     """Bucketed ANN top-k (srp_bucket + rank inside bucket) — audits
     the lsh_cosine_topk scale path; recall < 1 vs ann_cosine_topk by
@@ -560,6 +570,7 @@ QUERIES = {
     "ann_near_dup": ann_near_dup,
     "ann_srp_near_dup": ann_srp_near_dup,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample": mm_frame_sample,
     "s3_scan_filter_project": s3_scan_filter_project,
@@ -970,6 +981,32 @@ def _srp_oracles() -> dict[str, str]:
 
 
 ORACLE_SQL.update(_srp_oracles())
+
+_IVF_COS = "list_dot_product({a}.v, {b}.{bv}) / ({a}.nrm * {b}.{bn})"
+ORACLE_SQL["ann_ivf_topk"] = (
+    "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+    "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), "
+    "c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm "
+    "FROM n WHERE vec_id < 16), "
+    "assigned AS (SELECT vec_id, v, nrm, cent_id FROM ("
+    "SELECT n.vec_id, n.v, n.nrm, c.cent_id, "
+    "row_number() OVER (PARTITION BY n.vec_id ORDER BY "
+    + _IVF_COS.format(a="n", b="c", bv="cv", bn="cnrm")
+    + " DESC, c.cent_id) AS crnk FROM n, c) WHERE crnk = 1), "
+    "q AS (SELECT * FROM n WHERE vec_id < 10), "
+    "probes AS (SELECT query_id, qv, qnrm, cent_id FROM ("
+    "SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, c.cent_id, "
+    "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    + _IVF_COS.format(a="q", b="c", bv="cv", bn="cnrm")
+    + " DESC, c.cent_id) AS crnk FROM q, c) WHERE crnk <= 2) "
+    "SELECT query_id, neighbor_id, rnk FROM ("
+    "SELECT p.query_id, a.vec_id AS neighbor_id, "
+    "row_number() OVER (PARTITION BY p.query_id ORDER BY "
+    "list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm) "
+    "DESC, a.vec_id) AS rnk "
+    "FROM assigned a JOIN probes p ON a.cent_id = p.cent_id "
+    "WHERE a.vec_id <> p.query_id) WHERE rnk <= 5")
 
 
 def _hex_byte(h: str, k: int) -> str:

@@ -71,6 +71,28 @@ def test_srp_arrow_confirm_matches_sql(spark, emb):
     assert sql == arrow and sql
 
 
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    """IVF-bucketed ANN: results must be true neighbors from the
+    probed buckets with correct ranks, and recall vs exact top-k must
+    be meaningful with n_probe=2 of 16 centroids."""
+    from ldtab_clj_spark.operators.similarity import ivf_cosine_topk
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = ivf_cosine_topk(emb, queries, n_centroids=16, n_probe=2,
+                             k=5).collect()
+    # ranks per query are 1..n without gaps
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    ap = {(r.query_id, r.neighbor_id) for r in approx}
+    assert ap
+    recall = len(exact & ap) / len(exact)
+    assert recall >= 0.3, recall  # 2/16 buckets probed; exact is verifier
+
+
 def test_srp_plane_tables_deterministic():
     a, b = srp_plane_tables(), srp_plane_tables()
     assert a == b
