@@ -83,23 +83,48 @@ def cmd_prefix(args) -> int:
     return 0
 
 
+def _stream_tmp_paths(db: str) -> list[str]:
+    """Per-run tmp table + checkpoint under DB/tmp — uuid-tagged so
+    concurrent streaming imports into one DB can never share a
+    checkpoint or clobber each other's tmp table."""
+    import uuid
+    run_tag = f"stream_{uuid.uuid4().hex[:12]}"
+    return [str(Path(db) / "tmp" / run_tag),
+            str(Path(db) / "tmp" / (run_tag + "_ckpt"))]
+
+
 def cmd_import(args) -> int:
     spark = _spark()
     prefix_df = spark.read.parquet(str(Path(args.db) / "prefix"))
     tmp_paths: list[str] = []  # per-run streaming tmp table + ckpt
+    try:
+        return _do_import(spark, args, prefix_df, tmp_paths)
+    finally:
+        # remove ONLY this run's tmp table/checkpoint (never all of
+        # DB/tmp — concurrent streaming imports share that directory);
+        # runs on failure too, so aborted streams never leak tmp dirs
+        if tmp_paths:
+            import shutil
+            for p in tmp_paths:
+                shutil.rmtree(p, ignore_errors=True)
+
+
+def _do_import(spark, args, prefix_df, tmp_paths: list) -> int:
     # extension sniff (cli.clj:50-52; Jena-format dispatch
     # import.clj:148-154): .nt → N-Triples, .ttl → Turtle,
     # .owl/.rdf/.rdfxml → RDF/XML, else docs parquet
     ext = Path(args.input.rstrip("/")).suffix.lower()
+    if args.streaming and ext in (".ttl", ".owl", ".rdf", ".rdfxml"):
+        print("warning: --streaming applies to .nt and docs-parquet "
+              "inputs only (Turtle/RDF-XML need whole files); "
+              "running a batch import", file=sys.stderr)
     if ext == ".nt" or args.nt:
         if args.streaming:
             # the reference's actual --streaming surface: incremental
             # RDF import, one file per micro-batch (import.clj:142-184)
             from .streaming.pipeline import (read_stream_result,
                                              run_streaming_import_nt)
-            run_tag = f"stream_{int(time.time())}"
-            tmp_paths = [str(Path(args.db) / "tmp" / run_tag),
-                         str(Path(args.db) / "tmp" / (run_tag + "_ckpt"))]
+            tmp_paths += _stream_tmp_paths(args.db)
             q = run_streaming_import_nt(
                 spark, args.input, tmp_paths[0], tmp_paths[1], prefix_df)
             q.awaitTermination()
@@ -124,12 +149,8 @@ def cmd_import(args) -> int:
             from .streaming.pipeline import (read_stream_result,
                                              run_streaming_import)
             # fresh tmp table + checkpoint per run: re-using them would
-            # re-append everything already imported by earlier runs;
-            # both live under DB/tmp/ and are removed after the final
-            # append succeeds
-            run_tag = f"stream_{int(time.time())}"
-            tmp_paths = [str(Path(args.db) / "tmp" / run_tag),
-                         str(Path(args.db) / "tmp" / (run_tag + "_ckpt"))]
+            # re-append everything already imported by earlier runs
+            tmp_paths += _stream_tmp_paths(args.db)
             q = run_streaming_import(
                 spark, args.input, tmp_paths[0], tmp_paths[1],
                 entity_dict)
@@ -149,12 +170,6 @@ def cmd_import(args) -> int:
                             _statement_path(args.db, args.table),
                             run_id=f"import-{int(time.time())}",
                             mode="append")
-    # remove ONLY this run's tmp table/checkpoint (never all of DB/tmp —
-    # concurrent streaming imports share that directory)
-    if tmp_paths:
-        import shutil
-        for p in tmp_paths:
-            shutil.rmtree(p, ignore_errors=True)
     # batch_rows is observed during the write itself (no extra count)
     print(f"imported {info['batch_rows']} statements "
           f"({info['partitions']} partitions, "

@@ -238,13 +238,14 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
     ``n_probe`` nearest buckets — the other classic bucketed ANN shape
     next to SRP-LSH (shuffle on centroid ids, never all-pairs).
 
-    Centroids are the first ``n_centroids`` corpus vectors — a
+    Centroids are the ``n_centroids`` corpus vectors with the lowest
+    vec_ids (orderBy + limit — id-dense or sparse alike) — a
     deterministic stand-in for a k-means pass (which would converge to
     data-dependent floats that no cross-engine oracle could reproduce);
     at scale, plug trained centroids in as a small broadcast table.
     Returns (query_id, neighbor_id, rnk); recall < 1 by design,
     ``cosine_topk`` is the exact verifier."""
-    cent = (with_norm(embeddings.filter(F.col("vec_id") < n_centroids),
+    cent = (with_norm(embeddings.orderBy("vec_id").limit(n_centroids),
                       vec_col)
             .select(F.col("vec_id").alias("cent_id"),
                     F.col("_v").alias("_c"),

@@ -988,7 +988,7 @@ ORACLE_SQL["ann_ivf_topk"] = (
     "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
     "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), "
     "c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm "
-    "FROM n WHERE vec_id < 16), "
+    "FROM n ORDER BY vec_id LIMIT 16), "
     "assigned AS (SELECT vec_id, v, nrm, cent_id FROM ("
     "SELECT n.vec_id, n.v, n.nrm, c.cent_id, "
     "row_number() OVER (PARTITION BY n.vec_id ORDER BY "

@@ -76,13 +76,10 @@ def parse_nt_line(line: str, prefixes: list[tuple[str, str]]):
             subject.startswith("_:"), bool(o_blank))
 
 
-def read_ntriples(spark: SparkSession, path: str,
-                  prefix_df: DataFrame) -> DataFrame:
-    """Distributed N-Triples scan → thin triples (doc_id empty; run
-    operators/components.assign_components before stanza assembly)."""
-    prefixes = [(r["prefix"], r["base"]) for r in prefix_df.collect()]
-    lines = spark.read.text(path)
-
+def parse_nt_lines(lines: DataFrame,
+                   prefixes: list[tuple[str, str]]) -> DataFrame:
+    """text lines DataFrame (column ``value``) → thin triples; shared
+    by the batch reader and the streaming import."""
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -94,6 +91,14 @@ def read_ntriples(spark: SparkSession, path: str,
                                columns=[f.name for f in THIN.fields])
 
     return lines.mapInPandas(parse, THIN)
+
+
+def read_ntriples(spark: SparkSession, path: str,
+                  prefix_df: DataFrame) -> DataFrame:
+    """Distributed N-Triples scan → thin triples (doc_id empty; run
+    operators/components.assign_components before stanza assembly)."""
+    prefixes = [(r["prefix"], r["base"]) for r in prefix_df.collect()]
+    return parse_nt_lines(spark.read.text(path), prefixes)
 
 
 def import_ntriples(spark: SparkSession, path: str,

@@ -88,39 +88,45 @@ def run_streaming_import(spark: SparkSession, in_dir: str,
         table_path, checkpoint, available_now)
 
 
-def run_streaming_import_nt(spark: SparkSession, in_dir: str,
+def run_streaming_import_nt(spark: SparkSession, in_path: str,
                             table_path: str, checkpoint: str,
                             prefix_df: DataFrame,
                             available_now: bool = True):
     """Incremental N-Triples import — the reference's actual
     ``import --streaming`` surface (import.clj:142-184 streams its RDF
-    input in windows with a backlog). The closure unit here is the
-    FILE (maxFilesPerTrigger=1): blank-node components are resolved per
-    micro-batch, matching the reference's stanza-contiguity assumption
-    at its window boundaries; stanzas must not span .nt files (the
-    same contract as the batch per-file Turtle/RDF-XML readers)."""
+    input in windows with a backlog).
+
+    The blank-node closure unit is the MICRO-BATCH (one file,
+    maxFilesPerTrigger=1) — the reference's stanza-contiguity
+    assumption at its window boundaries. CONTRACT: a blank label must
+    not span .nt files here; each file is an independent graph
+    document. This differs from the batch importer, which closes
+    components GLOBALLY over the whole directory — a label reused
+    across files merges there but stays separate here. Exports produced
+    by this engine satisfy the contract (labels are stanza-content
+    hashes, globally unique).
+
+    ``in_path`` may be a directory or a single file (the file-stream
+    source needs a directory, so a file streams via its parent +
+    pathGlobFilter)."""
+    from pathlib import Path
+
     from ..operators.components import assign_components
     from ..operators.stanza import thin_to_thick_df
-    from ..sources.ntriples import parse_nt_line
-    from ..schemas import THIN
+    from ..sources.ntriples import parse_nt_lines
 
     prefixes = [(r["prefix"], r["base"]) for r in prefix_df.collect()]
 
     def statements_fn(lines: DataFrame) -> DataFrame:
-        import pandas as pd
+        return thin_to_thick_df(
+            assign_components(parse_nt_lines(lines, prefixes)))
 
-        def parse(batches):
-            for pdf in batches:
-                rows = [(*t, "", 0) for line in pdf["value"]
-                        if (t := parse_nt_line(line, prefixes))]
-                yield pd.DataFrame(rows,
-                                   columns=[f.name for f in THIN.fields])
-
-        thin = lines.mapInPandas(parse, THIN)
-        return thin_to_thick_df(assign_components(thin))
-
-    stream = (spark.readStream
-              .option("maxFilesPerTrigger", 1).text(in_dir))
+    reader = spark.readStream.option("maxFilesPerTrigger", 1)
+    p = Path(in_path)
+    if p.is_file():
+        reader = reader.option("pathGlobFilter", p.name)
+        in_path = str(p.parent)
+    stream = reader.text(in_path)
     return _start_streaming(spark, stream, statements_fn,
                             table_path, checkpoint, available_now)
 
@@ -128,5 +134,11 @@ def run_streaming_import_nt(spark: SparkSession, in_dir: str,
 def read_stream_result(spark: SparkSession, table_path: str) -> DataFrame:
     """Final statement set: dedup-on-read resolves cross-batch
     duplicates and bare-before-annotated arrivals (the reference's
-    tail flush, import.clj:80-101)."""
+    tail flush, import.clj:80-101). An input with zero files never
+    creates the tmp table — that's an empty import, not an error."""
+    from pathlib import Path
+
+    from ..schemas import STATEMENT
+    if not Path(table_path).exists():
+        return spark.createDataFrame([], STATEMENT)
     return dedup_statements(spark.read.parquet(table_path))

@@ -118,3 +118,32 @@ def test_cli_streaming_nt_import(spark, tmp_path):
     # per-run tmp table/checkpoint cleaned up
     import pathlib
     assert not list(pathlib.Path(db1, "tmp").glob("*"))
+
+
+def test_cli_streaming_single_file_and_empty_dir(spark, tmp_path):
+    """Regressions: a single .nt FILE streams via parent+glob (the
+    file-stream source needs a directory), and an empty input imports
+    0 statements instead of crashing; failed/finished runs leave no
+    tmp dirs behind."""
+    import pathlib
+    db = str(tmp_path / "db")
+    (tmp_path / "p.tsv").write_text(PREFIX_TSV)
+    assert main(["init", db]) == 0
+    assert main(["prefix", db, str(tmp_path / "p.tsv")]) == 0
+    single = tmp_path / "one.nt"
+    single.write_text(
+        "<http://example.com/a> <http://example.com/p> "
+        "<http://example.com/b> .\n")
+    # a sibling .nt must NOT leak into the single-file import
+    (tmp_path / "other.nt").write_text(
+        "<http://example.com/x> <http://example.com/p> "
+        "<http://example.com/y> .\n")
+    assert main(["import", db, str(single), "--streaming"]) == 0
+    rows = spark.read.parquet(f"{db}/statement").collect()
+    assert {r.subject for r in rows} == {"ex:a"}
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    assert main(["import", db, str(empty) + "/", "--nt",
+                 "--streaming"]) == 0
+    assert spark.read.parquet(f"{db}/statement").count() == len(rows)
+    assert not list(pathlib.Path(db, "tmp").glob("*"))
