@@ -117,3 +117,26 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
                             r"\s+", " ")
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def term_stats(docs: DataFrame, text_col: str = "text",
+               min_tf: int = 2) -> DataFrame:
+    """Corpus term statistics — the exact-integer core of TF-IDF:
+    per-document term frequency (tf) joined with the global document
+    frequency (df). Two map-side-combinable aggregations over the
+    tokenized relation plus one equi-join on the term — the classic
+    training-data-pipeline shape (vocabulary pruning, stopword mining,
+    idf weighting all derive from it). Counts stay integers so the
+    cross-engine oracle is exact; ln(N/df) weighting is one float
+    expression away for consumers."""
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"[^a-z0-9]+")).alias("word")) \
+        .filter(F.col("word") != "")
+    tf = (words.groupBy("doc_id", "word")
+          .agg(F.count("*").alias("tf"))
+          .filter(F.col("tf") >= min_tf))
+    df_ = (words.select("doc_id", "word").distinct()
+           .groupBy("word").agg(F.count("*").alias("df")))
+    return tf.join(df_, "word").select("doc_id", "word", "tf", "df")

@@ -332,6 +332,28 @@ def text_winnow(spark, sf):
     return winnow_fingerprints(load(spark, sf, "documents"))
 
 
+def text_term_stats(spark, sf):
+    """TF/DF term statistics (the exact-integer core of TF-IDF):
+    two aggregations + one term join, all counts integers."""
+    from .operators.text import term_stats
+    return term_stats(load(spark, sf, "documents"))
+
+
+def tpch_q4(spark, sf):
+    """Order-priority count with an EXISTS semi-join (q4 shape over
+    the columns this schema has: orders with a returned lineitem)."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01"))
+    returned = load(spark, sf, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    return (o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"),
+                   "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
 def ann_cosine_topk(spark, sf):
     emb = load(spark, sf, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -604,6 +626,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_token_bpe": text_token_bpe,
     "text_winnow": text_winnow,
+    "text_term_stats": text_term_stats,
+    "tpch_q4": tpch_q4,
     "ann_cosine_topk": ann_cosine_topk,
     "kg_mention_extract": kg_mention_extract,
     "kg_mention_extract_join": kg_mention_extract_join,
@@ -876,6 +900,25 @@ ORACLE_SQL = {
         "SELECT doc_id, length(regexp_extract_all(text, "
         "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens "
         "FROM documents",
+    "text_term_stats":
+        "WITH words AS (SELECT doc_id, w AS word FROM documents, "
+        "unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) "
+        "t(w) WHERE w <> ''), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM words "
+        "GROUP BY doc_id, word HAVING count(*) >= 2), "
+        "df AS (SELECT word, count(*) AS df FROM "
+        "(SELECT DISTINCT doc_id, word FROM words) GROUP BY word) "
+        "SELECT doc_id, tf.word AS word, CAST(tf AS BIGINT) AS tf, "
+        "CAST(df AS BIGINT) AS df "
+        "FROM tf JOIN df ON tf.word = df.word",
+    "tpch_q4":
+        "SELECT o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS order_count FROM orders o "
+        "WHERE o_orderdate >= TIMESTAMP '1996-07-01' "
+        "AND o_orderdate < TIMESTAMP '1996-10-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "text_winnow":
         "WITH kg AS (SELECT doc_id, i - 1 AS pos, "
         "md5(w[i] || ' ' || w[i+1]) AS h FROM "
