@@ -271,6 +271,23 @@ def tpch_q14(spark, sf):
                  .alias("promo_share")))
 
 
+def events_sessionize(spark, sf):
+    """Gap-based sessionization (the canonical event-pipeline op):
+    a >30-minute silence starts a new session per user; one window
+    pass for the lag/flag/cumsum chain, one aggregation for the
+    session stats. Shuffles once on user_id."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start")))
+
+
 def events_hourly_window(spark, sf):
     """Tumbling-window aggregation over the events stream table (the
     batch shape of streaming/windows.py)."""
@@ -615,6 +632,7 @@ QUERIES = {
     "tpch_q12": tpch_q12,
     "tpch_q14": tpch_q14,
     "events_hourly_window": events_hourly_window,
+    "events_sessionize": events_sessionize,
     "dedup_exact": dedup_exact,
     "dedup_word_jaccard": dedup_word_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -830,6 +848,19 @@ ORACLE_SQL = {
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
         "AND l_shipdate < TIMESTAMP '1997-06-01'",
+    "events_sessionize":
+        "WITH flagged AS (SELECT user_id, event_id, ts, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 "
+        "THEN 1 ELSE 0 END AS new_sess FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT user_id, ts, "
+        "sum(new_sess) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS session_id FROM flagged) "
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "min(ts) AS session_start "
+        "FROM sess GROUP BY user_id, session_id",
     "events_hourly_window":
         "SELECT date_trunc('hour', ts) AS hour, event_type, "
         "count(*) AS n, "
