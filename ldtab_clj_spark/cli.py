@@ -88,9 +88,12 @@ def _stream_tmp_paths(db: str) -> list[str]:
     concurrent streaming imports into one DB can never share a
     checkpoint or clobber each other's tmp table."""
     import uuid
+
+    from .streaming.pipeline import ann_keys_path
     run_tag = f"stream_{uuid.uuid4().hex[:12]}"
-    return [str(Path(db) / "tmp" / run_tag),
-            str(Path(db) / "tmp" / (run_tag + "_ckpt"))]
+    tmp_table = str(Path(db) / "tmp" / run_tag)
+    return [tmp_table, str(Path(db) / "tmp" / (run_tag + "_ckpt")),
+            ann_keys_path(tmp_table)]
 
 
 def cmd_import(args) -> int:
@@ -232,7 +235,19 @@ def cmd_diff(args) -> int:
     retracted = written.filter(F.col("retraction") == tid).count()
     shutil.rmtree(bak, ignore_errors=True)
     dst.rename(bak)
-    tmp.rename(dst)
+    try:
+        tmp.rename(dst)
+    except BaseException:
+        # restore the pre-diff table: the window between the two
+        # renames must never leave the DB with no statement table at
+        # its canonical path
+        bak.rename(dst)
+        raise
+    # the swap invalidated the old sidecar (it described the replaced
+    # files); rebuild it from the files actually on disk so
+    # verify_lineage stays true and later appends don't inherit ghosts
+    from .operators.materialize import rebuild_sidecar
+    rebuild_sidecar(spark, str(dst), run_id=f"diff-{tid}")
     shutil.rmtree(bak)
     print(f"transaction {tid}: +{added} -{retracted}")
     return 0

@@ -104,7 +104,15 @@ def write_statements(statements: DataFrame, path: str,
     ts = int(time.time())
     new = [{"file": name, "rows": n, "run_id": run_id, "ts": ts}
            for name, n in sorted(per_file.items()) if name not in known]
-    _write_sidecar(spark, path, prior + new)
+    if mode == "append":
+        # append ONLY this run's rows (atomic single write / new part
+        # files): concurrent imports into one table no longer race on a
+        # read-modify-rewrite of the whole sidecar — each run's entries
+        # survive regardless of interleaving (part-file names are
+        # UUID-unique, so the `known` filter can't misattribute them)
+        _append_sidecar(spark, path, new)
+    else:
+        _write_sidecar(spark, path, new)
 
     return {"run_id": run_id, "partitions": len(new),
             "rows": int(sum(r["rows"] for r in prior + new)),
@@ -143,6 +151,40 @@ def _write_sidecar(spark: SparkSession, path: str,
          for r in rows],
         "file string, rows long, run_id string, ts long")
      .coalesce(1).write.mode("overwrite").json(path + "_lineage"))
+
+
+def _append_sidecar(spark: SparkSession, path: str,
+                    rows: list[dict]) -> None:
+    """Append-only sidecar update: local = one O_APPEND write of this
+    run's JSON lines (atomic for these sizes), remote = new JSON part
+    files. Never rewrites other runs' entries."""
+    if not rows:
+        return
+    if _is_local(path):
+        f = _sidecar_file(path)
+        f.parent.mkdir(parents=True, exist_ok=True)
+        with open(f, "a") as fh:
+            fh.write("".join(json.dumps(r) + "\n" for r in rows))
+        return
+    (spark.createDataFrame(
+        [(r["file"], int(r["rows"]), r["run_id"], int(r["ts"]))
+         for r in rows],
+        "file string, rows long, run_id string, ts long")
+     .coalesce(1).write.mode("append").json(path + "_lineage"))
+
+
+def rebuild_sidecar(spark: SparkSession, path: str,
+                    run_id: str) -> list[dict]:
+    """Regenerate the lineage sidecar from the files actually on disk
+    (parquet footers — no data scan). Used after operations that
+    replace the table wholesale (e.g. a diff transaction's
+    write-temp-swap), where the old sidecar describes files that no
+    longer exist and would fail verify_lineage on a healthy table."""
+    ts = int(time.time())
+    rows = [{"file": name, "rows": n, "run_id": run_id, "ts": ts}
+            for name, n in sorted(_per_file_rows(spark, path).items())]
+    _write_sidecar(spark, path, rows)
+    return rows
 
 
 def _iceberg_catalogs(spark: SparkSession) -> list[str]:

@@ -255,11 +255,20 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
             / (F.col("_norm") * F.col("_cnorm")))
     scored = (corpus.join(F.broadcast(cent))
               .withColumn("csim", csim))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cent_id"))
-    assigned = (scored.withColumn("crnk", F.row_number().over(w_assign))
-                .filter(F.col("crnk") == 1)
-                .select("vec_id", "_v", "_norm", "cent_id"))
+    # argmax per vector as ONE hash aggregate (max_by over the
+    # (csim, -cent_id) order = highest similarity, lowest cent_id on
+    # ties — same row the old row_number window picked). Partial
+    # aggregation collapses the n_centroids-way expansion map-side
+    # (the cross join is partition-local against a broadcast), so the
+    # shuffle carries N rows, not n_centroids × N, and there is no
+    # per-vector sort. _v/_norm ride inside the max_by payload — no
+    # rejoin against the corpus.
+    assigned = (scored.groupBy("vec_id")
+                .agg(F.max_by(F.struct("cent_id", "_v", "_norm"),
+                              F.struct(F.col("csim"),
+                                       -F.col("cent_id"))).alias("_best"))
+                .select("vec_id", "_best.cent_id",
+                        "_best._v", "_best._norm"))
     probes = (with_norm(queries, vec_col)
               .select(F.col("vec_id").alias("query_id"),
                       F.col("_v").alias("_q"),

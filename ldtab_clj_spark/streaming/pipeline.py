@@ -41,30 +41,47 @@ def stream_docs_from_dir(spark: SparkSession, in_dir: str,
             .parquet(in_dir))
 
 
+def ann_keys_path(table_path: str) -> str:
+    """Compact annotation-key side table next to the statement table.
+
+    The backlog rule needs only the KEYS of previously-annotated rows,
+    so those keys are persisted on their own: each micro-batch reads
+    O(batch + key-table) bytes instead of re-scanning the whole
+    statement table (which at 100 TB would dominate a long stream).
+    The reference keeps the same bounded backlog in memory across its
+    3-window horizon (import.clj:118-131)."""
+    return table_path + "_annkeys"
+
+
 def _start_streaming(spark: SparkSession, stream: DataFrame,
                      statements_fn, table_path: str, checkpoint: str,
                      available_now: bool = True):
     """Shared incremental-import driver: per micro-batch, build the
     statement rows (``statements_fn``), apply the cross-batch
     superfluous-annotation backlog rule, append idempotently."""
+    keys_path = ann_keys_path(table_path)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         st = statements_fn(batch_df).localCheckpoint()
         annotated = st.filter(F.col("annotation").isNotNull())
         bare = st.filter(F.col("annotation").isNull())
         # backlog rule: bare rows annotated in this batch or earlier
-        # batches are superfluous
-        ann_keys = annotated.select(*KEYS)
+        # batches are superfluous. Prior batches' keys come from the
+        # compact side table — NEVER from a full statement-table scan.
+        ann_keys = annotated.select(*KEYS).dropDuplicates(KEYS)
+        all_keys = ann_keys
         try:
-            prev_ann = (spark.read.parquet(table_path)
-                        .filter(F.col("annotation").isNotNull())
-                        .select(*KEYS))
-            ann_keys = ann_keys.unionByName(prev_ann)
+            all_keys = all_keys.unionByName(spark.read.parquet(keys_path))
         except Exception:
-            pass  # first batch: table doesn't exist yet
-        bare_kept = bare.join(ann_keys.dropDuplicates(KEYS),
+            pass  # first batch: side table doesn't exist yet
+        bare_kept = bare.join(all_keys.dropDuplicates(KEYS),
                               on=KEYS, how="left_anti")
         (annotated.unionByName(bare_kept)
          .write.mode("append").parquet(table_path))
+        # side-table append AFTER the data append: a crash in between
+        # replays the batch (checkpointed source), and duplicate keys
+        # are harmless (the anti-join only tests membership)
+        ann_keys.write.mode("append").parquet(keys_path)
 
     writer = (stream.writeStream
               .foreachBatch(handle_batch)

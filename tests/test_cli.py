@@ -43,6 +43,16 @@ def test_cli_workflow(spark, tmp_path, capsys):
     assert main(["diff", db, str(tmp_path / "new.tsv")]) == 0
     after = spark.read.parquet(f"{db}/statement")
     assert after.filter("retraction > 0").count() == 5
+    # the swap rebuilt the lineage sidecar from the new files: a
+    # healthy post-diff table must verify, and a follow-up append
+    # import must report totals without ghost entries
+    from ldtab_clj_spark.operators.materialize import (_read_sidecar,
+                                                       verify_lineage)
+    assert verify_lineage(spark, f"{db}/statement")
+    assert all(r["run_id"].startswith("diff-")
+               for r in _read_sidecar(spark, f"{db}/statement"))
+    assert main(["import", db, docs_dir]) == 0
+    assert verify_lineage(spark, f"{db}/statement")
     # re-import of the NT dump reproduces the statement set (P/R oracle)
     db2 = str(tmp_path / "db2")
     assert main(["init", db2]) == 0

@@ -137,6 +137,23 @@ def test_materialize_append_lineage_deltas(spark, tmp_path, statements):
     assert verify_lineage(spark, out)
 
 
+def test_sidecar_append_survives_interleaved_runs(spark, tmp_path):
+    """Concurrent appends into one table must not drop each other's
+    lineage entries: the sidecar update is append-only (one O_APPEND
+    write per run), not a read-modify-rewrite. Simulated worst case —
+    two runs that both computed their new rows before either wrote."""
+    from ldtab_clj_spark.operators.materialize import (_append_sidecar,
+                                                       _read_sidecar)
+    out = str(tmp_path / "t")
+    r1 = [{"file": "part-a.parquet", "rows": 5, "run_id": "r1", "ts": 1}]
+    r2 = [{"file": "part-b.parquet", "rows": 7, "run_id": "r2", "ts": 1}]
+    _append_sidecar(spark, out, r1)
+    _append_sidecar(spark, out, r2)
+    got = _read_sidecar(spark, out)
+    assert {(r["file"], r["rows"], r["run_id"]) for r in got} \
+        == {("part-a.parquet", 5, "r1"), ("part-b.parquet", 7, "r2")}
+
+
 def test_iceberg_sink_seam(spark, statements):
     """No Iceberg runtime in this container: the sink must fail fast
     with an actionable message, not an opaque analysis error."""

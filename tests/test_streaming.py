@@ -59,6 +59,47 @@ def test_streaming_import_is_idempotent_on_replay(spark, tmp_path):
     assert key_set(result) == key_set(want)
 
 
+def test_streaming_backlog_uses_compact_key_table(spark, tmp_path):
+    """The cross-batch superfluous-annotation rule reads prior keys
+    from the compact ``_annkeys`` side table — O(batch + key-table) per
+    micro-batch — never by re-scanning the statement table. Pinned by
+    driving ``_start_streaming`` directly with an identity
+    statements_fn over three ordered statement files."""
+    from ldtab_clj_spark.schemas import STATEMENT
+    from ldtab_clj_spark.streaming.pipeline import (_start_streaming,
+                                                    ann_keys_path)
+
+    ann = '{"ex:cur":[{"datatype":"_IRI","meta":"owl:Axiom","object":"a"}]}'
+    k1 = (1, 0, "graph", "ex:a", "ex:p", "ex:b", "_IRI")
+    k2 = (1, 0, "graph", "ex:x", "ex:q", "lit", "xsd:string")
+    batches = [
+        [k1 + (None,), k2 + (None,)],   # bare K1, bare K2
+        [k1 + (ann,)],                  # annotated twin of K1 arrives
+        [k1 + (None,)],                 # bare K1 again → backlog drops
+    ]
+    in_dir = str(tmp_path / "bk_in")
+    for rows in batches:
+        spark.createDataFrame(rows, STATEMENT).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+    table = str(tmp_path / "bk_table")
+    stream = (spark.readStream.schema(STATEMENT)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = _start_streaming(spark, stream, lambda df: df, table,
+                         str(tmp_path / "bk_ckpt"))
+    q.awaitTermination(300)
+
+    # dedup-on-read: K1 survives only annotated, K2 only bare
+    got = key_set(read_stream_result(spark, table))
+    assert got == {k1[2:] + (ann,), k2[2:] + (None,)}
+    # the raw appends show the backlog acted: batch 3's bare K1 was
+    # dropped at write time (2 + 1 + 0 rows), not just masked on read
+    assert spark.read.parquet(table).count() == 3
+    # side table holds exactly the distinct annotated keys — the only
+    # prior-batch state a micro-batch ever reads
+    side = spark.read.parquet(ann_keys_path(table))
+    assert {tuple(r) for r in side.collect()} == {k1[2:7]}
+
+
 def test_stateful_annotation_association(spark, tmp_path):
     """R9 keyed-state variant: bare rows held, annotated twins win,
     timeout flushes the tail."""
