@@ -38,13 +38,18 @@ def doc_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       max_rows: int | None = None) -> DataFrame:
     """Exact word-set Jaccard near-dup pairs (doc_a < doc_b, jaccard).
 
     Candidate pairs via a self-join on shared words (SURVEY.md-style
-    semi-join candidate generation); exact at test scale, superseded by
-    MinHash LSH at 100 TB.
+    semi-join candidate generation); exact at test scale — quadratic
+    per shared word — superseded by ``minhash_lsh_pairs`` at 100 TB.
+    Guarded: refuses corpus-scale input (BruteForceScaleError).
     """
+    from .guards import guard_brute_force
+    guard_brute_force(docs, "word_jaccard_pairs", "minhash_lsh_pairs",
+                      max_rows)
     # no cache(): both consumers (sizes, the self-join) reuse the same
     # shuffle output, and a pinned copy would leak storage memory in
     # long-lived sessions

@@ -57,11 +57,16 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          max_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b).
 
     Brute-force all-pairs at test scale (the exact baseline); the LSH
-    path (srp_bucket) is the 100 TB candidate generator."""
+    path (``srp_banded_near_dup``) is the 100 TB candidate generator.
+    Guarded: refuses corpus-scale input (BruteForceScaleError)."""
+    from .guards import guard_brute_force
+    guard_brute_force(embeddings, "cosine_near_dup_pairs",
+                      "srp_banded_near_dup", max_rows)
     n = with_norm(embeddings, vec_col).select("vec_id", "_v", "_norm")
     a = n.select(F.col("vec_id").alias("vec_a"),
                  F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
@@ -230,45 +235,105 @@ def srp_banded_near_dup(embeddings: DataFrame,
             .distinct())
 
 
+def _minid_centroids(embeddings: DataFrame, n_centroids: int,
+                     vec_col: str) -> DataFrame:
+    """The ``n_centroids`` corpus vectors with the lowest vec_ids
+    (orderBy + limit — id-dense or sparse alike): a deterministic
+    stand-in for a k-means pass that any cross-engine oracle can
+    reproduce exactly."""
+    return (with_norm(embeddings.orderBy("vec_id").limit(n_centroids),
+                      vec_col)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("_v").alias("_c"),
+                    F.col("_norm").alias("_cnorm")))
+
+
+def _assign_to_centroids(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, _v, _norm) × broadcast centroids → nearest-centroid
+    assignment, as ONE hash aggregate: argmax per vector via max_by
+    over the (csim, -cent_id) order (highest similarity, lowest
+    cent_id on ties — the same row a row_number window would pick).
+    Partial aggregation collapses the n_centroids-way expansion
+    map-side (the cross join is partition-local against a broadcast),
+    so the shuffle carries N rows, not n_centroids × N, and there is
+    no per-vector sort. _v/_norm ride inside the max_by payload — no
+    rejoin against the corpus."""
+    csim = (_dot(F.col("_v"), F.col("_c"))
+            / (F.col("_norm") * F.col("_cnorm")))
+    scored = corpus.join(F.broadcast(cent)).withColumn("csim", csim)
+    return (scored.groupBy("vec_id")
+            .agg(F.max_by(F.struct("cent_id", "_v", "_norm"),
+                          F.struct(F.col("csim"),
+                                   -F.col("cent_id"))).alias("_best"))
+            .select("vec_id", "_best.cent_id",
+                    "_best._v", "_best._norm"))
+
+
+def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                        n_iter: int = 2,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Seeded, fixed-iteration Lloyd's refinement of the minid
+    centroids (spherical k-means): assign → per-dimension mean →
+    re-norm, ``n_iter`` times. Fully distributed — the mean is a
+    posexplode + (cent_id, pos) hash aggregate, never a collect; the
+    centroid table itself stays n_centroids rows (broadcast-sized).
+
+    Deterministic across partitionings: per-dimension means are
+    rounded to 6 decimals each iteration, so float summation order
+    cannot flip a downstream assignment. Empty or degenerate (zero
+    mean) clusters keep their previous centroid. The minid stand-in
+    remains the oracle mode; this is the opt-in quality path
+    (``centroids="trained"``)."""
+    corpus = with_norm(embeddings, vec_col) \
+        .select("vec_id", "_v", "_norm").localCheckpoint()
+    cent = _minid_centroids(embeddings, n_centroids, vec_col)
+    for _ in range(n_iter):
+        assigned = _assign_to_centroids(corpus, cent)
+        means = (assigned.select("cent_id",
+                                 F.posexplode("_v").alias("pos", "x"))
+                 .groupBy("cent_id", "pos")
+                 .agg(F.round(F.avg("x"), 6).alias("m"))
+                 .groupBy("cent_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s["m"]).alias("_cnew")))
+        norm = F.sqrt(_dot(F.col("_cnew"), F.col("_cnew")))
+        cent = (cent.join(means, "cent_id", "left")
+                .withColumn("_cnorm_new", norm)
+                .select("cent_id",
+                        F.when(F.col("_cnorm_new") > 0, F.col("_cnew"))
+                        .otherwise(F.col("_c")).alias("_c"),
+                        F.when(F.col("_cnorm_new") > 0,
+                               F.col("_cnorm_new"))
+                        .otherwise(F.col("_cnorm")).alias("_cnorm"))
+                .localCheckpoint())  # cut lineage per Lloyd's round
+    return cent
+
+
 def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
                     n_centroids: int = 16, n_probe: int = 2, k: int = 5,
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    centroids: str = "minid",
+                    n_iter: int = 2) -> DataFrame:
     """IVF-style ANN: assign every corpus vector to its nearest
     centroid (the inverted-file bucket), search only the query's
     ``n_probe`` nearest buckets — the other classic bucketed ANN shape
     next to SRP-LSH (shuffle on centroid ids, never all-pairs).
 
-    Centroids are the ``n_centroids`` corpus vectors with the lowest
-    vec_ids (orderBy + limit — id-dense or sparse alike) — a
-    deterministic stand-in for a k-means pass (which would converge to
-    data-dependent floats that no cross-engine oracle could reproduce);
-    at scale, plug trained centroids in as a small broadcast table.
-    Returns (query_id, neighbor_id, rnk); recall < 1 by design,
-    ``cosine_topk`` is the exact verifier."""
-    cent = (with_norm(embeddings.orderBy("vec_id").limit(n_centroids),
-                      vec_col)
-            .select(F.col("vec_id").alias("cent_id"),
-                    F.col("_v").alias("_c"),
-                    F.col("_norm").alias("_cnorm")))
+    ``centroids="minid"`` (default) uses the deterministic lowest-id
+    stand-in — the cross-engine oracle mode; ``centroids="trained"``
+    runs a seeded fixed-iteration Lloyd's refinement first
+    (``train_ivf_centroids``) — the opt-in quality mode. At scale,
+    any externally-trained centroid table plugs in the same way (a
+    small broadcast relation). Returns (query_id, neighbor_id, rnk);
+    recall < 1 by design, ``cosine_topk`` is the exact verifier."""
+    if centroids == "trained":
+        cent = train_ivf_centroids(embeddings, n_centroids, n_iter,
+                                   vec_col)
+    else:
+        cent = _minid_centroids(embeddings, n_centroids, vec_col)
     corpus = with_norm(embeddings, vec_col).select("vec_id", "_v", "_norm")
-    csim = (_dot(F.col("_v"), F.col("_c"))
-            / (F.col("_norm") * F.col("_cnorm")))
-    scored = (corpus.join(F.broadcast(cent))
-              .withColumn("csim", csim))
-    # argmax per vector as ONE hash aggregate (max_by over the
-    # (csim, -cent_id) order = highest similarity, lowest cent_id on
-    # ties — same row the old row_number window picked). Partial
-    # aggregation collapses the n_centroids-way expansion map-side
-    # (the cross join is partition-local against a broadcast), so the
-    # shuffle carries N rows, not n_centroids × N, and there is no
-    # per-vector sort. _v/_norm ride inside the max_by payload — no
-    # rejoin against the corpus.
-    assigned = (scored.groupBy("vec_id")
-                .agg(F.max_by(F.struct("cent_id", "_v", "_norm"),
-                              F.struct(F.col("csim"),
-                                       -F.col("cent_id"))).alias("_best"))
-                .select("vec_id", "_best.cent_id",
-                        "_best._v", "_best._norm"))
+    assigned = _assign_to_centroids(corpus, cent)
     probes = (with_norm(queries, vec_col)
               .select(F.col("vec_id").alias("query_id"),
                       F.col("_v").alias("_q"),

@@ -384,6 +384,8 @@ def kg_mention_extract(spark, sf):
     vocab = spark.createDataFrame(
         [("spark",), ("join",), ("filter",), ("window",)], "word string")
     d = load(spark, sf, "documents")
+    from .operators.guards import guard_brute_force
+    guard_brute_force(d, "kg_mention_extract", "kg_mention_extract_join")
     return (d.join(F.broadcast(vocab), F.col("text").contains(F.col("word")))
             .select("doc_id", F.col("word").alias("entity"),
                     F.lit("ex:mentions").alias("predicate")))

@@ -108,3 +108,60 @@ def test_lsh_rank_correct_within_bucket(spark, emb):
     out = lsh_cosine_topk(emb, queries, planes, k=10).collect()
     ranks = sorted(r.rnk for r in out)
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_brute_force_guards_trip(spark, emb):
+    """Each quadratic verifier refuses corpus-scale input with a
+    pointer to its bucketed twin; the default threshold passes test
+    corpora untouched."""
+    from ldtab_clj_spark.operators.dedup import word_jaccard_pairs
+    from ldtab_clj_spark.operators.guards import BruteForceScaleError
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(BruteForceScaleError, match="srp_banded_near_dup"):
+        cosine_near_dup_pairs(emb, max_rows=3).collect()
+    with pytest.raises(BruteForceScaleError, match="minhash_lsh_pairs"):
+        word_jaccard_pairs(docs, max_rows=3).collect()
+    # at test scale both run fine under the default limit
+    assert cosine_near_dup_pairs(emb, threshold=0.999).count() >= 0
+    assert word_jaccard_pairs(docs.limit(20)).count() >= 0
+
+
+def test_ivf_trained_centroids_recall_and_determinism(spark):
+    """Opt-in Lloyd's-refined centroids: on a corpus with actual
+    cluster structure, recall@5 vs exact top-k must beat the minid
+    stand-in's (on the UNIFORM synthetic corpus the two are statistical
+    ties — k-means has nothing to find there; measured 0.74 vs 0.75 at
+    25 queries); and the trained centroid table must be identical
+    across partitionings (6-decimal mean quantization pins the float
+    summation order)."""
+    import numpy as np
+
+    from ldtab_clj_spark.operators.similarity import (ivf_cosine_topk,
+                                                      train_ivf_centroids)
+    rs = np.random.RandomState(0)
+    centers = rs.normal(size=(16, 32)) * 4
+    pts = [(centers[rs.randint(16)] + rs.normal(size=32)).tolist()
+           for _ in range(480)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<double>").localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < 25)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=5).collect()}
+
+    def recall(mode):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ivf_cosine_topk(emb, queries, n_centroids=16,
+                                        n_probe=2, k=5,
+                                        centroids=mode).collect()}
+        return len(exact & got) / len(exact)
+
+    r_minid, r_trained = recall("minid"), recall("trained")
+    assert r_trained >= r_minid, (r_trained, r_minid)
+    assert r_trained >= 0.95, r_trained  # measured 0.976 vs 0.928
+
+    c1 = train_ivf_centroids(emb, 16, n_iter=2)
+    c2 = train_ivf_centroids(emb.repartition(7), 16, n_iter=2)
+    rows1 = {r.cent_id: (r._c, round(r._cnorm, 9)) for r in c1.collect()}
+    rows2 = {r.cent_id: (r._c, round(r._cnorm, 9)) for r in c2.collect()}
+    assert rows1 == rows2
