@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import THIN
-from .turtle import _RDF, _XSD, _to_thin
+from .turtle import _RDF, _XSD, _to_thin, resolve_against
 
 _XML_NS = "http://www.w3.org/XML/1998/namespace"
 
@@ -51,10 +51,9 @@ def _tag_iri(tag: str) -> str:
 
 
 class _Parser:
-    def __init__(self, base: str = ""):
+    def __init__(self):
         self.triples: list[tuple] = []
         self.anon = 0
-        self.base = base
 
     def fresh_blank(self) -> str:
         self.anon += 1
@@ -63,30 +62,48 @@ class _Parser:
     def emit(self, s, p, o, dt):
         self.triples.append((s, p, o, dt))
 
-    def node_id(self, el: ET.Element) -> str:
+    def node_id(self, el: ET.Element, base: str) -> str:
         about = el.get(f"{{{_RDF}}}about")
         if about is not None:
-            return self.resolve(about)
+            return self.resolve(about, base)
         rid = el.get(f"{{{_RDF}}}ID")
         if rid is not None:
-            return f"{self.base}#{rid}"
+            # rdf:ID="x" designates <#x> relative to the in-scope base
+            return self.resolve(f"#{rid}", base)
         nid = el.get(f"{{{_RDF}}}nodeID")
         if nid is not None:
             return f"_:{nid}"
         return self.fresh_blank()
 
-    def resolve(self, iri: str) -> str:
+    def resolve(self, iri: str, base: str) -> str:
+        """RFC 3986 resolution against the IN-SCOPE xml:base (tracked
+        per element — xml:base may appear anywhere, and a nested
+        relative xml:base resolves against the outer one). A relative
+        IRI with no base in scope would silently mint fragment-only /
+        relative IRIs into the statement table, so it fails fast like
+        the parser's other unsupported-construct paths."""
         import re
-        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
-            if iri.startswith("#") or iri == "":
-                return self.base + iri
-            return self.base.rsplit("/", 1)[0] + "/" + iri
-        return iri
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            return iri
+        if not base:
+            raise RdfXmlError(
+                f"relative IRI {iri!r} with no xml:base in scope "
+                "(set xml:base on the document or an ancestor element)")
+        return resolve_against(base, iri)
 
-    def node_element(self, el: ET.Element, lang: str = "") -> str:
+    @staticmethod
+    def scoped_base(el: ET.Element, base: str) -> str:
+        b = el.get(f"{{{_XML_NS}}}base")
+        if b is None:
+            return base
+        return resolve_against(base, b) if base else b
+
+    def node_element(self, el: ET.Element, lang: str = "",
+                     base: str = "") -> str:
         """A node element → its subject id; emits its triples."""
         lang = el.get(f"{{{_XML_NS}}}lang", lang)
-        subject = self.node_id(el)
+        base = self.scoped_base(el, base)
+        subject = self.node_id(el, base)
         tag = _tag_iri(el.tag)
         if tag != _RDF + "Description":
             self.emit(subject, _RDF + "type", tag, "_IRI")
@@ -98,15 +115,17 @@ class _Parser:
                 self.emit(subject, _tag_iri(k), v,
                           f"@{lang}" if lang else _XSD + "string")
         for child in el:
-            self.property_element(subject, child, lang)
+            self.property_element(subject, child, lang, base)
         return subject
 
-    def property_element(self, subject: str, el: ET.Element, lang: str):
+    def property_element(self, subject: str, el: ET.Element, lang: str,
+                         base: str):
         lang = el.get(f"{{{_XML_NS}}}lang", lang)
+        base = self.scoped_base(el, base)
         pred = _tag_iri(el.tag)
         res = el.get(f"{{{_RDF}}}resource")
         if res is not None:
-            self.emit(subject, pred, self.resolve(res), "_IRI")
+            self.emit(subject, pred, self.resolve(res, base), "_IRI")
             return
         nid = el.get(f"{{{_RDF}}}nodeID")
         if nid is not None:
@@ -114,7 +133,7 @@ class _Parser:
             return
         ptype = el.get(f"{{{_RDF}}}parseType")
         if ptype == "Collection":
-            items = [self.node_element(c, lang) for c in el]
+            items = [self.node_element(c, lang, base) for c in el]
             if not items:
                 self.emit(subject, pred, _RDF + "nil", "_IRI")
                 return
@@ -133,10 +152,12 @@ class _Parser:
         if ptype == "Resource":
             bnode = self.fresh_blank()
             for c in el:
-                self.property_element(bnode, c, lang)
+                self.property_element(bnode, c, lang, base)
             self.emit(subject, pred, bnode, "_JSONMAP")
             return
         if ptype == "Literal":
+            # XMLLiteral passthrough: element content serialized as-is
+            # (children's tails included by ET.tostring)
             text = (el.text or "") + "".join(
                 ET.tostring(c, encoding="unicode") for c in el)
             self.emit(subject, pred, text, _RDF + "XMLLiteral")
@@ -146,7 +167,7 @@ class _Parser:
             if len(children) != 1:
                 raise RdfXmlError(
                     f"property {pred} has {len(children)} node children")
-            obj = self.node_element(children[0], lang)
+            obj = self.node_element(children[0], lang, base)
             dt = "_JSONMAP" if obj.startswith("_:") else "_IRI"
             self.emit(subject, pred, obj, dt)
             return
@@ -166,13 +187,13 @@ def parse_rdfxml(text: str) -> list[tuple]:
     triples with full IRIs (blank nodes as ``_:`` labels)."""
     root = ET.fromstring(text)
     base = root.get(f"{{{_XML_NS}}}base", "")
-    p = _Parser(base=base.rstrip("#"))
+    p = _Parser()
     if _tag_iri(root.tag) == _RDF + "RDF":
         lang = root.get(f"{{{_XML_NS}}}lang", "")
         for el in root:
-            p.node_element(el, lang)
+            p.node_element(el, lang, base)
     else:
-        p.node_element(root)
+        p.node_element(root, "", base)
     return p.triples
 
 

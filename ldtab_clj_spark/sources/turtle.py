@@ -6,7 +6,12 @@ A pragmatic Turtle-1.1 subset sufficient for real ontology workflows:
 ``;``/``,`` separators, blank-node property lists ``[...]``,
 collections ``(...)``, blank-node labels, triple- and single-quoted
 strings with escapes, ``@lang`` / ``^^dt`` tags, and numeric/boolean
-literal abbreviations.
+literal abbreviations. Conformance edges covered (W3C-suite-shaped
+matrix in tests/test_turtle_conformance.py): UCHAR ``\\uXXXX`` /
+``\\UXXXXXXXX`` escapes in IRIs and strings, RFC 3986 ``@base``
+resolution in every position (``../``, absolute-path, fragment-only,
+empty and relative re-base refs), numeric-leading PN_LOCALs,
+PN_LOCAL_ESC, and full unicode PN_CHARS classes.
 
 Distribution model: Turtle is stateful (prefix directives, multi-line
 statements), so files — not lines — are the unit of parallelism:
@@ -33,25 +38,36 @@ from ..core.canonical import curify_with
 from ..schemas import THIN
 from .ntriples import _unescape
 
-_TOKEN = re.compile(r"""
-    (?P<comment>\#[^\n]*)
-  | (?P<iriref><[^<>"{}|^`\\\x00-\x20]*>)
-  | (?P<string>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"
-      |'''(?:[^'\\]|\\.|'(?!''))*'''
-      |"(?:[^"\\\n]|\\.)*"
-      |'(?:[^'\\\n]|\\.)*')
-  | (?P<blank>_:[A-Za-z0-9_](?:[A-Za-z0-9_\-]
-      |\.(?=[A-Za-z0-9_.\-]))*)
-  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
-  | (?P<number>[+-]?(?:(?:\d+\.\d+|\.\d+|\d+)[eE][+-]?\d+
-      |\d*\.\d+|\d+))
-  | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_\-]*(?:\.[A-Za-z0-9_\-]+)*)?:
-      (?:[A-Za-z0-9_:%\-]|\\[~.!$&'()*+,;=/?\#@%_-]
-        |\.(?=[A-Za-z0-9_:%.\-]))*)
-  | (?P<punct>\^\^|[.;,\[\]()])
-  | (?P<word>[A-Za-z][A-Za-z]*)
-  | (?P<ws>\s+)
-""", re.VERBOSE)
+# PN_CHARS_BASE / PN_CHARS_U / PN_CHARS character classes from the
+# Turtle 1.1 grammar (§6.5) — prefixed names and blank labels accept
+# the full unicode ranges, not just ASCII
+_PNB = ("A-Za-z"
+        "\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u02FF\u0370-\u037D"
+        "\u037F-\u1FFF\u200C-\u200D\u2070-\u218F\u2C00-\u2FEF"
+        "\u3001-\uD7FF\uF900-\uFDCF\uFDF0-\uFFFD"
+        "\U00010000-\U000EFFFF")
+_PNU = _PNB + "_"
+_PNC = _PNU + "0-9\u00B7\u0300-\u036F\u203F-\u2040-"
+_TOKEN = re.compile(
+    r"(?P<comment>\#[^\n]*)"
+    # IRIREF may carry \uXXXX/\UXXXXXXXX numeric escapes (UCHAR);
+    # any other backslash is rejected later with a clear TurtleError
+    r"|(?P<iriref><(?:[^<>\"{}|^`\\\x00-\x20]|\\.)*>)"
+    r"|(?P<string>\"\"\"(?:[^\"\\]|\\.|\"(?!\"\"))*\"\"\""
+    r"|'''(?:[^'\\]|\\.|'(?!''))*'''"
+    r"|\"(?:[^\"\\\n]|\\.)*\""
+    r"|'(?:[^'\\\n]|\\.)*')"
+    rf"|(?P<blank>_:[{_PNU}0-9](?:[{_PNC}]|\.(?=[{_PNC}.]))*)"
+    r"|(?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)"
+    r"|(?P<number>[+-]?(?:(?:\d+\.\d+|\.\d+|\d+)[eE][+-]?\d+"
+    r"|\d*\.\d+|\d+))"
+    # PN_LOCAL additionally allows ':', '%XX' and PN_LOCAL_ESC, and may
+    # START with a digit (numeric-leading locals are valid Turtle)
+    rf"|(?P<pname>(?:[{_PNB}][{_PNC}]*(?:\.[{_PNC}]+)*)?:"
+    rf"(?:[{_PNC}:%]|\\[~.!$&'()*+,;=/?#@%_\-]|\.(?=[{_PNC}:%.]))*)"
+    r"|(?P<punct>\^\^|[.;,\[\]()])"
+    r"|(?P<word>[A-Za-z]+)"
+    r"|(?P<ws>\s+)")
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -59,6 +75,31 @@ _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 class TurtleError(ValueError):
     pass
+
+
+def resolve_against(base: str, iri: str) -> str:
+    """RFC 3986 reference resolution (shared by the Turtle and RDF/XML
+    readers): '../', absolute-path, fragment-only, empty and query
+    refs all resolve correctly; absolute IRIs pass through. urllib
+    can't represent a defined-but-empty fragment, so the '#' of
+    <voc#> is restored (vocabulary namespaces rely on it)."""
+    from urllib.parse import urljoin
+    if not base or re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+        return iri
+    out = urljoin(base, iri)
+    if iri.endswith("#") and not out.endswith("#"):
+        out += "#"
+    return out
+
+
+def _iri_unescape(iri: str) -> str:
+    """UCHAR (``\\uXXXX`` / ``\\UXXXXXXXX``) unescaping inside IRIREF —
+    the only escapes Turtle allows in IRIs; anything else errors."""
+    out = re.sub(r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}",
+                 lambda m: chr(int(m.group(0)[2:], 16)), iri)
+    if "\\" in out:
+        raise TurtleError(f"invalid escape in IRI <{iri}>")
+    return out
 
 
 def _tokens(text: str):
@@ -114,13 +155,12 @@ class _Parser:
         return f"_:anon{self.anon}"
 
     def resolve(self, iri: str) -> str:
-        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
-            if iri.startswith("#") or iri == "" or self.base.endswith(
-                    ("/", "#")):
-                return self.base + iri
-            # document-style base (…/onto.owl): trim the last segment
-            return self.base.rsplit("/", 1)[0] + "/" + iri
-        return iri
+        """IRIREF body → absolute IRI: UCHAR unescape, then RFC 3986
+        reference resolution against @base — urljoin covers '../' and
+        absolute-path refs, fragment-only (#x keeps the base document),
+        empty (<> = base) and nested relative bases, in every position
+        (subject / predicate / object / datatype / @prefix / @base)."""
+        return resolve_against(self.base, _iri_unescape(iri))
 
     def pname_to_iri(self, pname: str) -> str:
         pfx, local = pname.split(":", 1)
@@ -159,7 +199,8 @@ class _Parser:
             k2, iri = self.next()
             if k2 != "iriref":
                 raise TurtleError(f"bad base IRI {iri!r}")
-            self.base = iri[1:-1]
+            # a relative @base resolves against the CURRENT base
+            self.base = self.resolve(iri[1:-1])
         else:
             raise TurtleError(f"unknown directive {tok!r}")
         if tok.startswith("@"):

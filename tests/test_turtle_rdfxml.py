@@ -259,3 +259,67 @@ def test_long_collection_roundtrip(spark, tmp_path, prefix_df):
     write_turtle(first, prefix_df, out)
     again = import_turtle(spark, out, prefix_df)
     assert _stmt_keys(first) == _stmt_keys(again)
+
+
+def test_rdfxml_xml_base_scoped_and_rdf_id():
+    """xml:base resolves per element (a nested relative xml:base
+    resolves against the outer one); rdf:ID designates <#id> against
+    the in-scope base — matching what Jena accepts for OWL files
+    (rdf_model.clj:42-51)."""
+    xml = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                 xmlns:ex="http://example.com/v#"
+                 xml:base="http://example.com/base/doc.owl">
+      <rdf:Description rdf:ID="x">
+        <ex:p rdf:resource="other"/>
+      </rdf:Description>
+      <rdf:Description rdf:about="rel" xml:base="http://other.org/sub/">
+        <ex:p rdf:resource="../up"/>
+      </rdf:Description>
+    </rdf:RDF>"""
+    got = set(parse_rdfxml(xml))
+    assert got == {
+        ("http://example.com/base/doc.owl#x", "http://example.com/v#p",
+         "http://example.com/base/other", "_IRI"),
+        ("http://other.org/sub/rel", "http://example.com/v#p",
+         "http://other.org/up", "_IRI")}
+
+
+def test_rdfxml_relative_iri_without_base_fails_fast():
+    """A relative rdf:about / rdf:resource / rdf:ID with no xml:base
+    in scope must raise (not mint fragment-only IRIs into the table),
+    matching the parser's fail-fast behavior elsewhere."""
+    from ldtab_clj_spark.sources.rdfxml import RdfXmlError
+    head = ('<rdf:RDF xmlns:rdf='
+            '"http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:ex="http://example.com/v#">')
+    for body in ['<rdf:Description rdf:about="rel"/>',
+                 '<rdf:Description rdf:ID="x"/>',
+                 '<rdf:Description rdf:about="http://a/s">'
+                 '<ex:p rdf:resource="rel"/></rdf:Description>']:
+        with pytest.raises(RdfXmlError, match="no xml:base"):
+            parse_rdfxml(f"{head}{body}</rdf:RDF>")
+
+
+def test_rdfxml_parsetype_literal_matches_ntriples(spark, tmp_path,
+                                                   prefix_df):
+    """rdf:parseType="Literal" (XMLLiteral passthrough, markup + tails
+    preserved) imports to the same statements as its N-Triples
+    equivalent."""
+    from ldtab_clj_spark.sources.ntriples import import_ntriples
+    xml = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                 xmlns:ex="http://example.com/">
+      <rdf:Description rdf:about="http://example.com/s">
+        <ex:doc rdf:parseType="Literal">pre<b>bold</b>tail</ex:doc>
+      </rdf:Description>
+    </rdf:RDF>"""
+    (tmp_path / "l.owl").write_text(xml)
+    lit = "pre<b>bold</b>tail"
+    nt = (f'<http://example.com/s> <http://example.com/doc> '
+          f'"{lit}"^^'
+          '<http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral> .\n')
+    (tmp_path / "l.nt").write_text(nt)
+    owl = _stmt_keys(import_rdfxml(spark, str(tmp_path / "l.owl"),
+                                   prefix_df))
+    nts = _stmt_keys(import_ntriples(spark, str(tmp_path / "l.nt"),
+                                     prefix_df))
+    assert owl == nts and owl
