@@ -131,7 +131,15 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
 
 def media_feature_statements(features: DataFrame) -> DataFrame:
     """Features → LDTab statement rows: the bridge back into the KG
-    (media node gets an ex:featureHash literal)."""
+    (media node gets an ex:featureHash literal).
+
+    The hash is md5 over the INTEGER byte signature of the feature
+    ("b0-b1-…-b15"), not over an engine-formatted float string — so the
+    single-node oracle (plans/single_node.py) reproduces it exactly."""
+    sig = F.array_join(
+        F.transform("feature",
+                    lambda x: F.round(x * 255).cast("int").cast("string")),
+        "-")
     return features.select(
         F.lit(1).cast("long").alias("assertion"),
         F.lit(0).cast("long").alias("retraction"),
@@ -139,6 +147,6 @@ def media_feature_statements(features: DataFrame) -> DataFrame:
         F.concat(F.lit("<"), F.col("media_ref"), F.lit(">"))
         .alias("subject"),
         F.lit("ex:featureHash").alias("predicate"),
-        F.md5(F.col("feature").cast("string")).alias("object"),
+        F.md5(sig).alias("object"),
         F.lit("xsd:string").alias("datatype"),
         F.lit(None).cast("string").alias("annotation"))

@@ -19,12 +19,28 @@ from ..operators.stanza import thin_to_thick_df
 from ..synth import entity_dictionary, synth_docs
 
 
-def build_statements(docs: DataFrame,
-                     entity_dict: DataFrame) -> DataFrame:
-    """The lazy end-to-end plan (no action triggered)."""
+def build_statements(docs: DataFrame, entity_dict: DataFrame,
+                     include_media: bool = False,
+                     media: DataFrame | None = None) -> DataFrame:
+    """The lazy end-to-end plan (no action triggered).
+
+    ``include_media=True`` adds the multimodal stage: decode/feature
+    the media table (``media``, or the deterministic synth stand-in
+    derived from the docs' media spans) and union the resulting
+    ex:featureHash statements into the graph before dedup — media
+    nodes become first-class KG subjects. The media table shuffles on
+    media_ref only (blobs never ride through the statement joins)."""
     thin = extract_thin_triples(docs)
     linked = link_entities(thin, entity_dict)
     thick = thin_to_thick_df(linked)
+    if include_media:
+        from ..operators.multimodal import (decode_media,
+                                            media_feature_statements,
+                                            synth_media)
+        if media is None:
+            media = synth_media(docs.sparkSession, docs)
+        thick = thick.unionByName(
+            media_feature_statements(decode_media(media)))
     return dedup_statements(thick)
 
 
@@ -42,11 +58,13 @@ def reimport(statements: DataFrame) -> DataFrame:
 
 def run_pipeline(spark: SparkSession, n_docs: int = 1000, seed: int = 42,
                  out_path: str | None = None,
-                 partitions: int | None = None) -> DataFrame:
+                 partitions: int | None = None,
+                 include_media: bool = False) -> DataFrame:
     """Synthesize docs, run the full pipeline; write+lineage if
     ``out_path`` given."""
     docs = synth_docs(spark, n_docs, seed=seed, partitions=partitions)
-    statements = build_statements(docs, entity_dictionary(spark))
+    statements = build_statements(docs, entity_dictionary(spark),
+                                  include_media=include_media)
     if out_path:
         write_statements(statements, out_path, partitions=partitions)
         return spark.read.parquet(out_path)

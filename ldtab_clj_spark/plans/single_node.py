@@ -23,10 +23,39 @@ STATEMENT_COLS = ("assertion", "retraction", "graph", "subject",
                   "predicate", "object", "datatype", "annotation")
 
 
-def single_node_statements(n_docs: int, seed: int = 42) -> list[dict]:
+def single_node_media_statements(n_docs: int, seed: int = 42) -> list[dict]:
+    """Single-node twin of the pipeline's multimodal stage: for every
+    distinct media_ref in the synth docs' spans, reproduce
+    synth_media → decode_media(fake) → media_feature_statements
+    (operators/multimodal.py) in pure Python."""
+    import hashlib
+    refs = set()
+    for d in range(n_docs):
+        for span in make_doc_spans(seed, d):
+            if span["kind"] == "media":
+                refs.add(span["media_ref"])
+    rows = []
+    for ref in sorted(refs):
+        h = hashlib.sha256(ref.encode()).digest()
+        size = 256 + h[1]
+        content = (h * ((size // len(h)) + 1))[:size]
+        feat = hashlib.sha256(content).digest()[:16]
+        sig = "-".join(str(b) for b in feat)
+        rows.append({"assertion": 1, "retraction": 0, "graph": "graph",
+                     "subject": f"<{ref}>",
+                     "predicate": "ex:featureHash",
+                     "object": hashlib.md5(sig.encode()).hexdigest(),
+                     "datatype": "xsd:string", "annotation": None})
+    return rows
+
+
+def single_node_statements(n_docs: int, seed: int = 42,
+                           include_media: bool = False) -> list[dict]:
     """Driver-side single-node reference path (no Spark): synth spans →
     parse → dictionary link (argmax score, same rule as operators/link)
-    → thin→thick per doc → set semantics + annotation dedup."""
+    → thin→thick per doc → set semantics + annotation dedup.
+    ``include_media`` appends the multimodal feature statements (same
+    flag as plans/pipeline.build_statements)."""
     dictionary = {}
     for i in range(N_ENTITIES):
         for surf in (f"Widget {i}", f"W-{i}"):
@@ -51,6 +80,8 @@ def single_node_statements(n_docs: int, seed: int = 42) -> list[dict]:
                              "datatype": dt, "is_blank_s": bs,
                              "is_blank_o": bo})
         rows.extend(to_statement_row(t) for t in thin_to_thick(thin))
+    if include_media:
+        rows.extend(single_node_media_statements(n_docs, seed))
     # set semantics + annotation dedup (operators/materialize equivalents)
     uniq = {tuple(sorted(r.items(), key=lambda kv: kv[0])): r for r in rows}
     return drop_superfluous_annotations(list(uniq.values()))

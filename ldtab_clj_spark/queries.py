@@ -601,9 +601,19 @@ def kg_roundtrip_reimport(spark, sf):
     return reimport(run_pipeline(spark, n_docs=300, seed=42))
 
 
+def kg_pipeline_media(spark, sf):
+    """Flagship with the multimodal stage enabled (include_media=True):
+    decode/feature the synth media table and union the ex:featureHash
+    statements into the graph. Oracle: the media-variant single-node
+    fixture (tools/make_kg_fixture.py)."""
+    from .plans.pipeline import run_pipeline
+    return run_pipeline(spark, n_docs=300, seed=42, include_media=True)
+
+
 QUERIES = {
     "kg_pipeline_statements": kg_pipeline_statements,
     "kg_roundtrip_reimport": kg_roundtrip_reimport,
+    "kg_pipeline_media": kg_pipeline_media,
     "c2_curify": c2_curify,
     "j6_curie_expand": j6_curie_expand,
     "so5_state_replay": so5_state_replay,
@@ -1014,6 +1024,12 @@ _KG_ORACLE = ("SELECT assertion, retraction, graph, subject, predicate, "
               f"FROM read_parquet('{_KG_FIXTURE}')")
 ORACLE_SQL["kg_pipeline_statements"] = _KG_ORACLE
 ORACLE_SQL["kg_roundtrip_reimport"] = _KG_ORACLE
+_KG_FIXTURE_MEDIA = Path(__file__).resolve().parent.parent / "tests" / \
+    "fixtures" / "kg_oracle_statements_media.parquet"
+ORACLE_SQL["kg_pipeline_media"] = (
+    "SELECT assertion, retraction, graph, subject, predicate, "
+    "object, datatype, annotation "
+    f"FROM read_parquet('{_KG_FIXTURE_MEDIA}')")
 
 
 def _srp_bucket_sql(planes) -> str:

@@ -178,3 +178,23 @@ def test_pipeline_invariant_to_partition_count(spark):
         return {row_key(r) for r in df.collect()}
 
     assert stmts(2) == stmts(16)
+
+
+def test_pipeline_include_media_matches_single_node(spark):
+    """The optional multimodal stage (include_media=True) unions
+    ex:featureHash statements into the graph, and the distributed
+    result equals the single-node oracle exactly — same contract as
+    the base pipeline."""
+    docs = synth_docs(spark, 60, seed=9)
+    got = {row_key(r) for r in
+           build_statements(docs, entity_dictionary(spark),
+                            include_media=True).collect()}
+    want = {row_key(r) for r in
+            single_node_statements(60, seed=9, include_media=True)}
+    assert got == want
+    media_rows = {k for k in got if k[2] == "ex:featureHash"}
+    assert media_rows and all(k[1].startswith("<media://")
+                              for k in media_rows)
+    # and the base pipeline is exactly the media rows' complement
+    base = {row_key(r) for r in single_node_statements(60, seed=9)}
+    assert got - media_rows == base

@@ -24,12 +24,12 @@ from ldtab_clj_spark.plans.single_node import (  # noqa: E402
 
 N_DOCS = 300
 SEED = 42
-OUT = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / \
-    "kg_oracle_statements.parquet"
+FIXDIR = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
+OUT = FIXDIR / "kg_oracle_statements.parquet"
+OUT_MEDIA = FIXDIR / "kg_oracle_statements_media.parquet"
 
 
-def main() -> None:
-    rows = single_node_statements(N_DOCS, SEED)
+def write_fixture(rows: list[dict], out: Path) -> None:
     schema = pa.schema([
         ("assertion", pa.int64()), ("retraction", pa.int64()),
         ("graph", pa.string()), ("subject", pa.string()),
@@ -38,9 +38,15 @@ def main() -> None:
     ])
     cols = {c: [r.get(c) for r in rows] for c in STATEMENT_COLS}
     table = pa.Table.from_pydict(cols, schema=schema)
-    OUT.parent.mkdir(parents=True, exist_ok=True)
-    pq.write_table(table, OUT)
-    print(f"wrote {table.num_rows} rows to {OUT}")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, out)
+    print(f"wrote {table.num_rows} rows to {out}")
+
+
+def main() -> None:
+    write_fixture(single_node_statements(N_DOCS, SEED), OUT)
+    write_fixture(single_node_statements(N_DOCS, SEED,
+                                         include_media=True), OUT_MEDIA)
 
 
 if __name__ == "__main__":
