@@ -28,10 +28,13 @@ _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR \
     else 0.1
 N_DOCS = max(int(200_000 * _SF), 500)
 
-HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q5", "a1_group_collect",
-            "w4_rank_window", "so4_symmetric_diff", "dedup_exact",
-            "dedup_minhash_lsh", "text_quality", "text_fingerprint",
-            "ann_cosine_topk", "kg_mention_extract", "diff_transactions"]
+HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5",
+            "a1_group_collect", "w4_rank_window", "so4_symmetric_diff",
+            "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+            "text_quality", "text_fingerprint", "text_term_stats",
+            "events_sessionize", "ann_cosine_topk", "ann_ivf_topk",
+            "kg_mention_extract", "kg_roundtrip_reimport",
+            "diff_transactions"]
 
 
 def _ann_srp_scaled(spark, sf_dir):

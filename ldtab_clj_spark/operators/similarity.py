@@ -249,24 +249,35 @@ def _minid_centroids(embeddings: DataFrame, n_centroids: int,
 
 
 def _assign_to_centroids(corpus: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, _v, _norm) × broadcast centroids → nearest-centroid
-    assignment, as ONE hash aggregate: argmax per vector via max_by
-    over the (csim, -cent_id) order (highest similarity, lowest
-    cent_id on ties — the same row a row_number window would pick).
-    Partial aggregation collapses the n_centroids-way expansion
-    map-side (the cross join is partition-local against a broadcast),
-    so the shuffle carries N rows, not n_centroids × N, and there is
-    no per-vector sort. _v/_norm ride inside the max_by payload — no
-    rejoin against the corpus."""
-    csim = (_dot(F.col("_v"), F.col("_c"))
-            / (F.col("_norm") * F.col("_cnorm")))
-    scored = corpus.join(F.broadcast(cent)).withColumn("csim", csim)
-    return (scored.groupBy("vec_id")
-            .agg(F.max_by(F.struct("cent_id", "_v", "_norm"),
-                          F.struct(F.col("csim"),
-                                   -F.col("cent_id"))).alias("_best"))
-            .select("vec_id", "_best.cent_id",
-                    "_best._v", "_best._norm"))
+    """(vec_id, _v, _norm) → nearest-centroid assignment as a PURE MAP:
+    the centroid table is broadcast-sized by definition, so it is
+    collected (like a prefix table) and folded into a literal argmax
+    expression — highest csim, lowest cent_id on ties, exactly the row
+    the old row_number window picked. No join, no n_centroids-way row
+    expansion, no aggregate, no shuffle, no sort: assignment fuses into
+    the corpus scan's project (WholeStageCodegen), which is the plan
+    you'd want at 10^12 rows. (A max_by aggregate was measured first:
+    carrying the vector payload forces SortAggregate — a local sort of
+    n_centroids × N rows — because array buffers aren't
+    hash-aggregable.)"""
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cent_id"])
+    if not cent_rows:
+        raise ValueError("empty centroid table")
+    # one candidate struct per centroid, argmax via array_max's
+    # lexicographic struct order: highest csim, then highest -cent_id
+    # (= lowest cent_id). Linear expression tree — a chained
+    # when(best, cand) would duplicate `best` per level (exponential
+    # blowup, measured as a driver OOM at 16 centroids × 64 dims).
+    cands = F.array(*[
+        F.struct(
+            (_dot(F.col("_v"), F.array(*[F.lit(float(x))
+                                         for x in r["_c"]]))
+             / (F.col("_norm") * F.lit(float(r["_cnorm"]))))
+            .alias("csim"),
+            F.lit(-int(r["cent_id"])).alias("neg"))
+        for r in cent_rows])
+    return (corpus.withColumn("cent_id", -F.array_max(cands)["neg"])
+            .select("vec_id", "_v", "_norm", "cent_id"))
 
 
 def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
