@@ -161,7 +161,8 @@ def _do_import(spark, args, prefix_df, tmp_paths: list) -> int:
             statements = read_stream_result(spark, tmp_paths[0])
         else:
             from .plans.pipeline import build_statements
-            statements = build_statements(docs, entity_dict)
+            statements = build_statements(
+                docs, entity_dict, include_media=args.include_media)
     if args.graph != "graph":
         # non-constant named graph (--graph): one value per import
         statements = statements.withColumn("graph", F.lit(args.graph))
@@ -276,6 +277,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--dict")
     sp.add_argument("--graph", default="graph",
                     help="named graph for imported statements")
+    sp.add_argument("--include-media", action="store_true",
+                    help="add multimodal feature statements (docs-"
+                         "parquet batch imports only)")
     sp.set_defaults(fn=cmd_import)
     sp = with_table(sub.add_parser("export")); sp.add_argument("db")
     sp.add_argument("out")

@@ -94,22 +94,26 @@ def write_statements(statements: DataFrame, path: str,
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"),
                     F.sum(F.when(F.col("annotation").isNotNull(), 1)
                           .otherwise(0)).alias("annotated"))
+    # snapshot the directory BEFORE writing: this run's files are
+    # (after − before), regardless of whether concurrent runs have
+    # committed their sidecar entries yet — attributing by sidecar
+    # membership alone would double-enter a concurrent run's files
+    pre = _list_files(path) if mode == "append" else set()
     df.write.mode(mode).parquet(path)
     metrics = obs.get
     spark = statements.sparkSession
 
     per_file = _per_file_rows(spark, path)
     prior = _read_sidecar(spark, path) if mode == "append" else []
-    known = {r["file"] for r in prior}
+    known = {r["file"] for r in prior} | pre
     ts = int(time.time())
     new = [{"file": name, "rows": n, "run_id": run_id, "ts": ts}
            for name, n in sorted(per_file.items()) if name not in known]
     if mode == "append":
-        # append ONLY this run's rows (atomic single write / new part
-        # files): concurrent imports into one table no longer race on a
-        # read-modify-rewrite of the whole sidecar — each run's entries
-        # survive regardless of interleaving (part-file names are
-        # UUID-unique, so the `known` filter can't misattribute them)
+        # append ONLY this run's rows (atomic single O_APPEND write /
+        # new part files): concurrent imports never rewrite each
+        # other's entries. A file that lands during the race window is
+        # attributed once (first sidecar entry wins on read).
         _append_sidecar(spark, path, new)
     else:
         _write_sidecar(spark, path, new)
@@ -120,23 +124,50 @@ def write_statements(statements: DataFrame, path: str,
             "annotated": int(metrics["annotated"] or 0)}
 
 
+def _list_files(path: str) -> set[str]:
+    """Parquet part-file names currently in the table dir (local only;
+    remote appends fall back to sidecar membership)."""
+    if not _is_local(path):
+        return set()
+    local = path[len("file:"):] if path.startswith("file:") else path
+    p = Path(local)
+    return {f.name for f in p.glob("*.parquet")} if p.exists() else set()
+
+
 def _sidecar_file(path: str) -> Path:
     local = path[len("file:"):] if path.startswith("file:") else path
     return Path(local + "_lineage") / "lineage.json"
 
 
 def _read_sidecar(spark: SparkSession, path: str) -> list[dict]:
+    """Sidecar rows, deduped by file name (first entry wins): a file
+    that lands during two concurrent runs' race window can be entered
+    twice; one entry per physical file keeps verify_lineage exact."""
     if _is_local(path):
         f = _sidecar_file(path)
         if not f.exists():
             return []
-        return [json.loads(line) for line in
+        rows = [json.loads(line) for line in
                 f.read_text().splitlines() if line.strip()]
-    try:
-        return [r.asDict() for r in
-                spark.read.json(path + "_lineage").collect()]
-    except Exception:
-        return []
+    else:
+        try:
+            rows = [r.asDict() for r in
+                    spark.read.json(path + "_lineage").collect()]
+        except Exception:
+            return []
+    seen, out = set(), []
+    for r in rows:
+        if r["file"] not in seen:
+            seen.add(r["file"])
+            out.append(r)
+    return out
+
+
+def _sidecar_df(spark: SparkSession, rows: list[dict]):
+    return spark.createDataFrame(
+        [(r["file"], int(r["rows"]), r["run_id"], int(r["ts"]))
+         for r in rows],
+        "file string, rows long, run_id string, ts long").coalesce(1)
 
 
 def _write_sidecar(spark: SparkSession, path: str,
@@ -146,11 +177,8 @@ def _write_sidecar(spark: SparkSession, path: str,
         f.parent.mkdir(parents=True, exist_ok=True)
         f.write_text("".join(json.dumps(r) + "\n" for r in rows))
         return
-    (spark.createDataFrame(
-        [(r["file"], int(r["rows"]), r["run_id"], int(r["ts"]))
-         for r in rows],
-        "file string, rows long, run_id string, ts long")
-     .coalesce(1).write.mode("overwrite").json(path + "_lineage"))
+    _sidecar_df(spark, rows).write.mode("overwrite").json(
+        path + "_lineage")
 
 
 def _append_sidecar(spark: SparkSession, path: str,
@@ -166,11 +194,7 @@ def _append_sidecar(spark: SparkSession, path: str,
         with open(f, "a") as fh:
             fh.write("".join(json.dumps(r) + "\n" for r in rows))
         return
-    (spark.createDataFrame(
-        [(r["file"], int(r["rows"]), r["run_id"], int(r["ts"]))
-         for r in rows],
-        "file string, rows long, run_id string, ts long")
-     .coalesce(1).write.mode("append").json(path + "_lineage"))
+    _sidecar_df(spark, rows).write.mode("append").json(path + "_lineage")
 
 
 def rebuild_sidecar(spark: SparkSession, path: str,
@@ -247,8 +271,10 @@ def read_statements(spark: SparkSession, path: str) -> DataFrame:
 
 def verify_lineage(spark: SparkSession, path: str) -> bool:
     """Resumability check: the lineage sidecar row counts must match
-    the table — a stage whose sidecar disagrees is re-run."""
-    lineage = spark.read.json(path + "_lineage")
-    expected = lineage.agg(F.sum("rows")).collect()[0][0] or 0
+    the table — a stage whose sidecar disagrees is re-run. Reads
+    through _read_sidecar (per-file dedup, so a concurrent-append race
+    entry can't fail a healthy table). Full table count — fine as an
+    explicit verifier, not something to call per stage routinely."""
+    expected = sum(int(r["rows"]) for r in _read_sidecar(spark, path))
     actual = spark.read.parquet(path).count()
-    return int(expected) == int(actual)
+    return expected == actual

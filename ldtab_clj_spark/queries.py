@@ -385,7 +385,12 @@ def kg_mention_extract(spark, sf):
         [("spark",), ("join",), ("filter",), ("window",)], "word string")
     d = load(spark, sf, "documents")
     from .operators.guards import guard_brute_force
-    guard_brute_force(d, "kg_mention_extract", "kg_mention_extract_join")
+    # looser bound than the true-quadratic verifiers: the containment
+    # BNLJ is |vocab| × N contains() calls (linear in docs for this
+    # fixed 4-word vocabulary), so the guard only has to stop
+    # corpus-scale runs, not every SF > 1 bench input
+    guard_brute_force(d, "kg_mention_extract", "kg_mention_extract_join",
+                      max_rows=5_000_000)
     return (d.join(F.broadcast(vocab), F.col("text").contains(F.col("word")))
             .select("doc_id", F.col("word").alias("entity"),
                     F.lit("ex:mentions").alias("predicate")))

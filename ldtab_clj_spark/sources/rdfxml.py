@@ -93,9 +93,15 @@ class _Parser:
 
     @staticmethod
     def scoped_base(el: ET.Element, base: str) -> str:
+        import re
         b = el.get(f"{{{_XML_NS}}}base")
         if b is None:
             return base
+        if not base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", b):
+            # a relative xml:base with no outer base would smuggle
+            # relative IRIs past the resolve() fail-fast below
+            raise RdfXmlError(
+                f"relative xml:base {b!r} with no outer base in scope")
         return resolve_against(base, b) if base else b
 
     def node_element(self, el: ET.Element, lang: str = "",

@@ -82,10 +82,25 @@ def resolve_against(base: str, iri: str) -> str:
     readers): '../', absolute-path, fragment-only, empty and query
     refs all resolve correctly; absolute IRIs pass through. urllib
     can't represent a defined-but-empty fragment, so the '#' of
-    <voc#> is restored (vocabulary namespaces rely on it)."""
-    from urllib.parse import urljoin
+    <voc#> is restored (vocabulary namespaces rely on it).
+
+    Non-hierarchical bases (urn:, tag:, did: — schemes urljoin would
+    silently ignore, returning the RELATIVE ref unchanged): fragment
+    and empty refs still resolve (well-defined against any base);
+    anything else raises rather than minting a relative IRI into the
+    statement table."""
+    from urllib.parse import urljoin, urlsplit, uses_relative
     if not base or re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
         return iri
+    if urlsplit(base).scheme not in uses_relative:
+        stem = base.split("#", 1)[0]
+        if iri == "":
+            return stem
+        if iri.startswith("#"):
+            return stem + iri
+        raise ValueError(
+            f"cannot resolve relative IRI {iri!r} against "
+            f"non-hierarchical base <{base}>")
     out = urljoin(base, iri)
     if iri.endswith("#") and not out.endswith("#"):
         out += "#"
@@ -156,11 +171,20 @@ class _Parser:
 
     def resolve(self, iri: str) -> str:
         """IRIREF body → absolute IRI: UCHAR unescape, then RFC 3986
-        reference resolution against @base — urljoin covers '../' and
+        reference resolution against @base — covering '../' and
         absolute-path refs, fragment-only (#x keeps the base document),
         empty (<> = base) and nested relative bases, in every position
-        (subject / predicate / object / datatype / @prefix / @base)."""
-        return resolve_against(self.base, _iri_unescape(iri))
+        (subject / predicate / object / datatype / @prefix / @base).
+        A relative IRI with no @base in scope fails fast (there is no
+        document URI to fall back to in a distributed scan; silently
+        minting relative subjects would corrupt the statement table) —
+        same contract as the RDF/XML reader."""
+        iri = _iri_unescape(iri)
+        if not self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:",
+                                          iri):
+            raise TurtleError(
+                f"relative IRI <{iri}> with no @base in scope")
+        return resolve_against(self.base, iri)
 
     def pname_to_iri(self, pname: str) -> str:
         pfx, local = pname.split(":", 1)

@@ -61,19 +61,37 @@ def _start_streaming(spark: SparkSession, stream: DataFrame,
     superfluous-annotation backlog rule, append idempotently."""
     keys_path = ann_keys_path(table_path)
 
+    def prior_keys(spark: SparkSession) -> DataFrame | None:
+        """Annotated keys from earlier batches: the compact side
+        table. If it doesn't exist yet but the statement table DOES
+        (streaming into a table populated before this run), bootstrap
+        the side table from it once — a single table scan at stream
+        start, instead of one per micro-batch."""
+        try:
+            return spark.read.parquet(keys_path)
+        except Exception:
+            pass
+        try:
+            prior = (spark.read.parquet(table_path)
+                     .filter(F.col("annotation").isNotNull())
+                     .select(*KEYS).dropDuplicates(KEYS))
+        except Exception:
+            return None  # fresh table: nothing prior
+        prior.write.mode("append").parquet(keys_path)
+        return spark.read.parquet(keys_path)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         st = statements_fn(batch_df).localCheckpoint()
         annotated = st.filter(F.col("annotation").isNotNull())
         bare = st.filter(F.col("annotation").isNull())
         # backlog rule: bare rows annotated in this batch or earlier
         # batches are superfluous. Prior batches' keys come from the
-        # compact side table — NEVER from a full statement-table scan.
+        # compact side table — never a per-batch statement-table scan.
         ann_keys = annotated.select(*KEYS).dropDuplicates(KEYS)
         all_keys = ann_keys
-        try:
-            all_keys = all_keys.unionByName(spark.read.parquet(keys_path))
-        except Exception:
-            pass  # first batch: side table doesn't exist yet
+        prev = prior_keys(spark)
+        if prev is not None:
+            all_keys = all_keys.unionByName(prev)
         bare_kept = bare.join(all_keys.dropDuplicates(KEYS),
                               on=KEYS, how="left_anti")
         (annotated.unionByName(bare_kept)

@@ -198,3 +198,29 @@ def test_pipeline_include_media_matches_single_node(spark):
     # and the base pipeline is exactly the media rows' complement
     base = {row_key(r) for r in single_node_statements(60, seed=9)}
     assert got - media_rows == base
+
+
+def test_sidecar_double_entry_dedup_keeps_verify_true(spark, tmp_path,
+                                                      statements):
+    """Race window: two concurrent runs can both enter a file that
+    landed between their directory snapshots. One entry per physical
+    file must win on read, so verify_lineage stays true on a healthy
+    table."""
+    import json
+    from pathlib import Path
+
+    from ldtab_clj_spark.operators.materialize import (_append_sidecar,
+                                                       _read_sidecar,
+                                                       verify_lineage,
+                                                       write_statements)
+    out = str(tmp_path / "statement")
+    write_statements(statements, out, partitions=4, run_id="r1")
+    rows = _read_sidecar(spark, out)
+    # simulate the race: a second run re-enters every existing file
+    _append_sidecar(spark, out, [dict(r, run_id="r2") for r in rows])
+    raw = [json.loads(line) for line in
+           (Path(out + "_lineage") / "lineage.json").read_text()
+           .splitlines()]
+    assert len(raw) == 2 * len(rows)            # double-entered on disk
+    assert len(_read_sidecar(spark, out)) == len(rows)  # deduped on read
+    assert verify_lineage(spark, out)

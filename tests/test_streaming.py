@@ -215,3 +215,35 @@ def test_streaming_nt_import_equals_batch(spark, tmp_path):
     streamed = key_set(read_stream_result(spark, table))
     batch = key_set(import_ntriples(spark, nt_dir, prefix_df))
     assert streamed == batch and streamed
+
+
+def test_streaming_backlog_bootstraps_from_existing_table(spark, tmp_path):
+    """Streaming into a table populated BEFORE this run (no _annkeys
+    side table yet): the first batch bootstraps the side table from
+    the statement table once, so previously-annotated keys still
+    suppress late bare twins."""
+    from ldtab_clj_spark.schemas import STATEMENT
+    from ldtab_clj_spark.streaming.pipeline import (_start_streaming,
+                                                    ann_keys_path)
+
+    ann = '{"ex:cur":[{"datatype":"_IRI","meta":"owl:Axiom","object":"a"}]}'
+    k1 = (1, 0, "graph", "ex:a", "ex:p", "ex:b", "_IRI")
+    table = str(tmp_path / "pre_table")
+    # pre-existing table with an annotated row, written outside streaming
+    spark.createDataFrame([k1 + (ann,)], STATEMENT).coalesce(1) \
+        .write.parquet(table)
+
+    in_dir = str(tmp_path / "pre_in")
+    spark.createDataFrame([k1 + (None,)], STATEMENT).coalesce(1) \
+        .write.parquet(in_dir)  # late bare twin arrives via the stream
+    stream = (spark.readStream.schema(STATEMENT)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = _start_streaming(spark, stream, lambda df: df, table,
+                         str(tmp_path / "pre_ckpt"))
+    q.awaitTermination(300)
+
+    got = key_set(read_stream_result(spark, table))
+    assert got == {k1[2:] + (ann,)}          # bare twin suppressed
+    assert spark.read.parquet(table).count() == 1   # not even appended
+    side = spark.read.parquet(ann_keys_path(table))
+    assert {tuple(r) for r in side.collect()} == {k1[2:7]}

@@ -118,3 +118,27 @@ def test_uchar_in_iri_reaches_statement_table(spark):
         rows = import_turtle(spark, str(f), prefix_df).collect()
     assert [(r.subject, r.predicate, r.object) for r in rows] \
         == [("ex:s", "ex:p", "ex:o")]
+
+
+def test_relative_iri_without_base_fails_fast():
+    """No @base in scope → a relative IRIREF raises (no document URI
+    exists in a distributed scan; minting relative subjects would
+    corrupt the statement table) — same contract as the RDF/XML
+    reader."""
+    for ttl in ["<s> <http://a.example/p> <http://a.example/o> .",
+                "<http://a.example/s> <http://a.example/p> <#frag> .",
+                "<http://a.example/s> <http://a.example/p> <> ."]:
+        with pytest.raises(TurtleError, match="no @base"):
+            parse_turtle(ttl)
+
+
+def test_non_hierarchical_base_fragment_ok_path_raises():
+    """urn:/tag: bases: fragment and empty refs are well-defined and
+    resolve; path-relative refs raise instead of silently passing the
+    relative string through (urljoin's behavior for schemes outside
+    its uses_relative list)."""
+    got = triples("@base <urn:example:doc> .\n<#a> <#b> <> .")
+    assert got == {("urn:example:doc#a", "urn:example:doc#b",
+                    "urn:example:doc", "_IRI")}
+    with pytest.raises(ValueError, match="non-hierarchical"):
+        parse_turtle("@base <urn:example:doc> .\n<s> <#p> <#o> .")

@@ -323,3 +323,26 @@ def test_rdfxml_parsetype_literal_matches_ntriples(spark, tmp_path,
     nts = _stmt_keys(import_ntriples(spark, str(tmp_path / "l.nt"),
                                      prefix_df))
     assert owl == nts and owl
+
+
+def test_rdfxml_urn_base_and_relative_xml_base_guards():
+    """Non-hierarchical xml:base: rdf:ID (a fragment ref) resolves;
+    path-relative refs raise; and a relative xml:base with no outer
+    base raises instead of smuggling relative IRIs past the
+    fail-fast."""
+    from ldtab_clj_spark.sources.rdfxml import RdfXmlError
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    head = (f'<rdf:RDF xmlns:rdf="{rdf}" xmlns:ex="http://example.com/v#"')
+    got = set(parse_rdfxml(
+        f'{head} xml:base="urn:example:onto">'
+        '<rdf:Description rdf:ID="x"><ex:p rdf:resource="#y"/>'
+        "</rdf:Description></rdf:RDF>"))
+    assert got == {("urn:example:onto#x", "http://example.com/v#p",
+                    "urn:example:onto#y", "_IRI")}
+    with pytest.raises(ValueError, match="non-hierarchical"):
+        parse_rdfxml(f'{head} xml:base="urn:example:onto">'
+                     '<rdf:Description rdf:about="rel"/></rdf:RDF>')
+    with pytest.raises(RdfXmlError, match="relative xml:base"):
+        parse_rdfxml(f'{head}><rdf:Description rdf:about="http://a/s" '
+                     'xml:base="sub/"><ex:p rdf:resource="z"/>'
+                     "</rdf:Description></rdf:RDF>")
