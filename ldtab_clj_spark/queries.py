@@ -371,6 +371,92 @@ def tpch_q4(spark, sf):
             .orderBy("o_orderpriority"))
 
 
+def tpch_q7(spark, sf):
+    """Nation-pair trade volume (q7 shape): lineitem joined through
+    supplier's and customer's nations, two directed pairs kept, grouped
+    by (supp_nation, cust_nation, ship year). Both nation dims
+    broadcast; one agg shuffle."""
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year(F.col("l_shipdate").cast("date"))
+                     .alias("l_year"))
+            .agg(_revenue_sum("volume")))
+
+
+def tpch_q10(spark, sf):
+    """Returned-item revenue per customer (q10 shape): one-quarter
+    orders, R-flag lineitems, top 20 by exact-cents revenue with a
+    c_custkey tie-break (deterministic across engines)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01"))
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf, "nation")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(n),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(_revenue_sum())
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+def tpch_q19(spark, sf):
+    """Discounted revenue under OR-bracket predicates (q19 shape):
+    lineitem × part equi-join with three (brand, size, quantity)
+    brackets — the classic pushdown/CNF-conversion stressor."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+
+    def bracket(brand, size_hi, q_lo, q_hi):
+        return ((F.col("p_brand") == brand)
+                & F.col("p_size").between(1, size_hi)
+                & F.col("l_quantity").between(q_lo, q_hi))
+
+    return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .filter(bracket("Brand#1", 5, 1, 11)
+                    | bracket("Brand#2", 10, 10, 20)
+                    | bracket("Brand#3", 15, 20, 30))
+            .agg(_revenue_sum()))
+
+
+def events_session_window(spark, sf):
+    """NATIVE session windows (F.session_window, 30-minute gap) — the
+    streaming-capable session aggregation; events_sessionize is the
+    manual lag/cumsum twin. Session end = last event + gap (Spark's
+    half-open [start, last+gap) semantics, reproduced exactly in the
+    oracle's gap-and-island SQL)."""
+    e = load(spark, sf, "events")
+    w = F.session_window(F.col("ts"), "30 minutes")
+    return (e.groupBy("user_id", w.alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))
+
+
 def ann_cosine_topk(spark, sf):
     emb = load(spark, sf, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -663,6 +749,10 @@ QUERIES = {
     "text_winnow": text_winnow,
     "text_term_stats": text_term_stats,
     "tpch_q4": tpch_q4,
+    "tpch_q7": tpch_q7,
+    "tpch_q10": tpch_q10,
+    "tpch_q19": tpch_q19,
+    "events_session_window": events_session_window,
     "ann_cosine_topk": ann_cosine_topk,
     "kg_mention_extract": kg_mention_extract,
     "kg_mention_extract_join": kg_mention_extract_join,
@@ -967,6 +1057,54 @@ ORACLE_SQL = {
         "AND EXISTS (SELECT 1 FROM lineitem l "
         "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "tpch_q7":
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year, "
+        f"sum({_CENTS_REVENUE}) / 10000.0 AS volume "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') "
+        "GROUP BY supp_nation, cust_nation, l_year",
+    "tpch_q10":
+        "SELECT c_custkey, c_name, c_acctbal, n_name, "
+        f"sum({_CENTS_REVENUE}) / 10000.0 AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_orderdate >= TIMESTAMP '1996-07-01' "
+        "AND o_orderdate < TIMESTAMP '1996-10-01' "
+        "AND l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "tpch_q19":
+        f"SELECT sum({_CENTS_REVENUE}) / 10000.0 AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 "
+        "AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 "
+        "AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 20 AND 30)",
+    "events_session_window":
+        # Spark session_window semantics: an event at exactly
+        # prev + 30min starts a NEW session (half-open [start,
+        # last+gap)), so the island break is >= not >; end = last
+        # event + gap
+        "WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN "
+        "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= "
+        "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT user_id, ts, sum(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) "
+        "SELECT user_id, min(ts) AS session_start, "
+        "max(ts) + INTERVAL 30 MINUTE AS session_end, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM sess GROUP BY user_id, sid",
     "text_winnow":
         "WITH kg AS (SELECT doc_id, i - 1 AS pos, "
         "md5(w[i] || ' ' || w[i+1]) AS h FROM "

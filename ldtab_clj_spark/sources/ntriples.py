@@ -47,6 +47,18 @@ def _unescape(s: str) -> str:
                   sub, s)
 
 
+_NT_UCHAR = re.compile(r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}")
+
+
+def _iri_unescape(iri: str) -> str:
+    """UCHAR (\\uXXXX / \\UXXXXXXXX) unescaping inside IRIREF — the
+    only escapes the N-Triples grammar allows in IRIs (canonical NT
+    tooling escapes all non-ASCII IRI characters this way)."""
+    if "\\" not in iri:        # fast path: virtually all lines
+        return iri
+    return _NT_UCHAR.sub(lambda m: chr(int(m.group(0)[2:], 16)), iri)
+
+
 def parse_nt_line(line: str, prefixes: list[tuple[str, str]]):
     """One N-Triples line → thin-triple tuple, or None for blank /
     comment / unparseable lines."""
@@ -57,18 +69,19 @@ def parse_nt_line(line: str, prefixes: list[tuple[str, str]]):
         return None
     (s_iri, s_blank, p_iri, o_iri, o_blank,
      o_lex, o_lang, o_dt) = m.groups()
-    subject = s_blank if s_blank else curify_with(s_iri, prefixes)
-    predicate = curify_with(p_iri, prefixes)
+    subject = s_blank if s_blank \
+        else curify_with(_iri_unescape(s_iri), prefixes)
+    predicate = curify_with(_iri_unescape(p_iri), prefixes)
     if o_blank:
         obj, dt = o_blank, "_JSONMAP"
     elif o_iri is not None:
-        obj, dt = curify_with(o_iri, prefixes), "_IRI"
+        obj, dt = curify_with(_iri_unescape(o_iri), prefixes), "_IRI"
     else:
         obj = _unescape(o_lex)
         if o_lang:
             dt = f"@{o_lang}"
         elif o_dt:
-            dt = curify_with(o_dt, prefixes)
+            dt = curify_with(_iri_unescape(o_dt), prefixes)
         else:
             dt = "xsd:string"  # plain literal (Jena can't tell either,
             #                    thin2thick.clj:125)

@@ -106,3 +106,19 @@ def test_literal_that_looks_like_blank_label(spark):
                for r in assign_components(thin).collect()}
     assert grouped["_:b1"] == "_:b1"
     assert grouped["ex:s"].startswith("g:")  # ground singleton
+
+
+def test_nt_iri_uchar_escapes():
+    """N-Triples IRIREF UCHAR escapes (\\uXXXX / \\UXXXXXXXX) unescape
+    in every IRI position — subject, predicate, object, datatype —
+    matching the Turtle reader and canonical NT tooling output."""
+    from ldtab_clj_spark.sources.ntriples import parse_nt_line
+    prefixes = [("ex", "http://example.com/")]
+    t = parse_nt_line(
+        '<http://example.com/\\u0073> <http://example.com/\\U00000070> '
+        '"v"^^<http://example.com/\\u0064> .', prefixes)
+    assert t[:4] == ("ex:s", "ex:p", "v", "ex:d")
+    t2 = parse_nt_line(
+        '<http://example.com/a> <http://example.com/p> '
+        '<http://example.com/caf\\u00e9> .', prefixes)
+    assert t2[2] == "ex:café"
