@@ -30,11 +30,20 @@ N_DOCS = max(int(200_000 * _SF), 500)
 
 HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5",
             "a1_group_collect", "w4_rank_window", "so4_symmetric_diff",
-            "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+            "dedup_exact", "dedup_minhash_lsh",
             "text_quality", "text_fingerprint", "text_term_stats",
             "events_sessionize", "ann_cosine_topk", "ann_ivf_topk",
             "kg_mention_extract", "kg_roundtrip_reimport",
             "diff_transactions"]
+
+
+def _simhash_pairs_arrow(spark, sf_dir):
+    """SimHash banded pairs via the numpy throughput mode (bit-identical
+    to the oracle's mode="sql"; equality pinned by test — the bench
+    measures the path you'd run at scale, as with ann_srp_near_dup)."""
+    from ldtab_clj_spark.operators.dedup import simhash_pairs
+    from ldtab_clj_spark.queries import load
+    return simhash_pairs(load(spark, sf_dir, "documents"), mode="arrow")
 
 
 def _ann_srp_scaled(spark, sf_dir):
@@ -93,6 +102,8 @@ def main() -> None:
 
     timings["ann_srp_near_dup"] = round(
         best_of(lambda: _ann_srp_scaled(spark, SF_DIR).count()), 3)
+    timings["dedup_simhash_pairs"] = round(
+        best_of(lambda: _simhash_pairs_arrow(spark, SF_DIR).count()), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -16,6 +16,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -110,15 +112,21 @@ _HEX = "0123456789abcdef"
 SIMHASH_NIBBLES = 16  # 64-bit signature as 16 hex nibbles
 
 
-def simhash_signatures(docs: DataFrame,
-                       text_col: str = "text") -> DataFrame:
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       mode: str = "sql") -> DataFrame:
     """64-bit SimHash over bigram shingles as a 16-hex-char string.
 
-    Pure integer/string arithmetic (md5 nibbles → bit sums → majority
-    vote → hex), identical in Spark and ANSI SQL — no engine hash
-    functions leak into results. All JVM-side; the per-doc aggregation
-    is one map-side-combinable groupBy.
+    ``mode="sql"`` (oracle path): pure integer/string arithmetic (md5
+    nibbles → bit sums → majority vote → hex), identical in Spark and
+    ANSI SQL — no engine hash functions leak into results. All
+    JVM-side; the per-doc aggregation is one map-side-combinable
+    groupBy — the right SHAPE, but its 65 aggregate expressions are
+    interpreted per shingle row. ``mode="arrow"`` computes the same
+    bits in one numpy pass per doc (bit-identical, pinned by test) —
+    the throughput path.
     """
+    if mode == "arrow":
+        return _simhash_arrow(docs, text_col)
     sh = doc_shingles(docs, text_col).withColumn(
         "h", F.md5(F.col("shingle")))
     # bit sums: nibble p (1..16), bit j (0..3)
@@ -140,6 +148,46 @@ def simhash_signatures(docs: DataFrame,
     return agg.select("doc_id", F.concat(*chars).alias("simhash"))
 
 
+def _simhash_arrow(docs: DataFrame, text_col: str) -> DataFrame:
+    """numpy/hashlib SimHash — the throughput twin of the Catalyst
+    form (65 aggregate expressions evaluate interpreted per shingle
+    row; one md5 + bit-count pass per doc in a mapInPandas batch is
+    the fast path). BIT-IDENTICAL output to ``mode="sql"`` (pinned by
+    test): same bigram shingle set, same md5-nibble bit sums, same
+    majority rule."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def sig(batches):
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                words = [w for w in re.split(r"\s+", text.strip()) if w]
+                shingles = {f"{a} {b}"
+                            for a, b in zip(words, words[1:])}
+                if not shingles:
+                    continue
+                d = np.frombuffer(
+                    b"".join(hashlib.md5(s.encode("utf-8")).digest()
+                             for s in sorted(shingles)),
+                    dtype=np.uint8).reshape(-1, 16)[:, :8]
+                nib = np.empty((len(d), 16), np.uint8)
+                nib[:, 0::2] = d >> 4          # hex string nibble order
+                nib[:, 1::2] = d & 0xF
+                bits = (nib[:, :, None] >> np.arange(4)) & 1
+                maj = (2 * bits.sum(axis=0) >= len(d))   # 16 × 4 bools
+                vals = (maj << np.arange(4)).sum(axis=1)
+                out_ids.append(doc_id)
+                out_sigs.append("".join(_HEX[v] for v in vals))
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+
+    doc_type = dict(docs.dtypes)["doc_id"]
+    return docs.select("doc_id", text_col).mapInPandas(
+        sig, f"doc_id {doc_type}, simhash string")
+
+
 def _band_pairs(bands_df: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) → distinct candidate pairs (doc_a < doc_b)
     via a bucket-key self-join. Both join sides are the SAME subplan, so
@@ -154,12 +202,12 @@ def _band_pairs(bands_df: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
-                  bands: int = 4) -> DataFrame:
+                  bands: int = 4, mode: str = "sql") -> DataFrame:
     """Near-dup candidates: docs whose SimHash matches on any of
     ``bands`` contiguous nibble quarters (≈ small hamming distance).
     Same banded-LSH shuffle shape as minhash_lsh_pairs: one signature
     aggregation, one explode — not one aggregation per band."""
-    sigs = simhash_signatures(docs, text_col)
+    sigs = simhash_signatures(docs, text_col, mode=mode)
     width = SIMHASH_NIBBLES // bands
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),

@@ -92,3 +92,20 @@ def test_expand_invariant_to_arrow_batch_size(spark, tiny_arrow_batches):
         assert _stmt_key_rows(reimport(stmts)) == _stmt_key_rows(stmts)
     finally:
         stmts.unpersist()
+
+
+def test_simhash_arrow_matches_sql(spark):
+    """mode="arrow" (numpy md5 bit-count) must be bit-identical to the
+    Catalyst oracle form — same shingle set, same majority rule."""
+    from ldtab_clj_spark.operators.dedup import simhash_signatures
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sql = {(r.doc_id, r.simhash)
+           for r in simhash_signatures(docs, mode="sql").collect()}
+    arrow = {(r.doc_id, r.simhash)
+             for r in simhash_signatures(docs, mode="arrow").collect()}
+    assert sql == arrow and sql
+    # edge cases: empty and single-word docs produce no signature
+    tiny = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words")], "doc_id long, text string")
+    assert {r.doc_id for r in
+            simhash_signatures(tiny, mode="arrow").collect()} == {3}
