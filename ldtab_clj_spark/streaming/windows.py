@@ -34,3 +34,22 @@ def hourly_event_counts(events_stream: DataFrame,
                   / 10000.0).alias("sum_value"))
             .select(F.col("w.start").alias("hour"), "event_type",
                     "n", "sum_value"))
+
+
+def session_event_counts(events_stream: DataFrame,
+                         gap: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """NATIVE session windows per user (F.session_window): a session
+    closes after ``gap`` of silence; with a stream input the state
+    finalizes once the watermark passes the session end. Batch
+    DataFrames take the same path (watermark no-op), so streamed ==
+    batch is directly testable — and the batch form is the
+    ``events_session_window`` driver query's shape."""
+    df = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))

@@ -247,3 +247,38 @@ def test_streaming_backlog_bootstraps_from_existing_table(spark, tmp_path):
     assert spark.read.parquet(table).count() == 1   # not even appended
     side = spark.read.parquet(ann_keys_path(table))
     assert {tuple(r) for r in side.collect()} == {k1[2:7]}
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Native session_window over a watermarked file stream == the
+    same aggregation in batch (finalized sessions only, append mode)."""
+    from ldtab_clj_spark.streaming.windows import session_event_counts
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "sw_in")
+    e = events.withColumn("_bucket",
+                          F.ntile(3).over(
+                              __import__("pyspark.sql.window",
+                                         fromlist=["Window"])
+                              .Window.orderBy("ts")))
+    for i in range(1, 4):
+        (e.filter(F.col("_bucket") == i).drop("_bucket")
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out_dir = str(tmp_path / "sw_out")
+    q = (session_event_counts(stream).writeStream
+         .format("parquet").option("path", out_dir)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {(r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in session_event_counts(events).collect()}
+    # append mode emits only watermark-finalized sessions; each one
+    # must match batch exactly, and most sessions should finalize
+    assert got and got <= want
+    assert len(got) >= len(want) * 0.5, (len(got), len(want))

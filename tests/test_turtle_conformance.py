@@ -142,3 +142,26 @@ def test_non_hierarchical_base_fragment_ok_path_raises():
                     "urn:example:doc", "_IRI")}
     with pytest.raises(ValueError, match="non-hierarchical"):
         parse_turtle("@base <urn:example:doc> .\n<s> <#p> <#o> .")
+
+
+BAD = [
+    ("unterminated_statement", P + "p:s p:p p:o"),
+    ("missing_object", P + "p:s p:p ."),
+    ("bad_predicate_literal", P + 'p:s "lit" p:o .'),
+    ("undefined_prefix", "q:s q:p q:o ."),
+    ("unterminated_string", P + 'p:s p:p "abc .'),
+    ("unclosed_bracket", P + "p:s p:p [ p:q p:o ."),
+    ("unclosed_collection", P + "p:s p:p (p:a p:b ."),
+    ("bad_directive", "@prefixes p: <http://a.example/> ."),
+    ("double_dot", P + "p:s p:p p:o . ."),
+    ("stray_semicolon_start", P + "; p:p p:o ."),
+]
+
+
+@pytest.mark.parametrize("name,ttl", BAD, ids=[b[0] for b in BAD])
+def test_turtle_negative_syntax_raises(name, ttl):
+    """Malformed documents raise TurtleError (never hang, crash the
+    interpreter, or silently emit triples) — negative-syntax shapes
+    from the W3C suite."""
+    with pytest.raises(TurtleError):
+        parse_turtle(ttl)
