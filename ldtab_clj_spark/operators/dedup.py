@@ -76,6 +76,38 @@ def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def repeated_segment_stats(docs: DataFrame, text_col: str = "text",
+                           seg_words: int = 10,
+                           min_docs: int = 3) -> DataFrame:
+    """C4-style boilerplate detection: fixed ``seg_words``-word
+    segments that recur across ≥ ``min_docs`` DISTINCT documents are
+    boilerplate; returns (doc_id, n_segments, n_boilerplate) so a
+    cleaner can drop or down-weight them.
+
+    Scale shape: one explode to (doc_id, segment-md5), one
+    count-distinct aggregation on the 32-byte hash, one hash join
+    back — shuffle keys are hashes, never text; at 100 TB the
+    boilerplate relation is small (only segments passing the
+    threshold) and broadcasts."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    nseg = F.ceil(F.size(words) / seg_words).cast("int")
+    seg = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * seg_words + 1, seg_words), " "))
+    segs = (docs.select("doc_id", F.explode(seg).alias("segment"))
+            .withColumn("h", F.md5("segment")).drop("segment"))
+    boiler = (segs.groupBy("h")
+              .agg(F.count_distinct("doc_id").alias("nd"))
+              .filter(F.col("nd") >= min_docs)
+              .select("h", F.lit(1).alias("is_b")))
+    return (segs.join(boiler, "h", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_segments"),
+                 F.sum(F.coalesce(F.col("is_b"), F.lit(0)))
+                 .alias("n_boilerplate")))
+
+
 N_MINHASH = 8
 BAND_SIZE = 2
 

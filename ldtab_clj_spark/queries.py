@@ -457,6 +457,13 @@ def events_session_window(spark, sf):
                     "n_events"))
 
 
+def dedup_boilerplate(spark, sf):
+    """C4-style boilerplate detection: 10-word segments recurring
+    across ≥3 distinct docs; per-doc (n_segments, n_boilerplate)."""
+    from .operators.dedup import repeated_segment_stats
+    return repeated_segment_stats(load(spark, sf, "documents"))
+
+
 def ann_cosine_topk(spark, sf):
     emb = load(spark, sf, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -741,6 +748,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_boilerplate": dedup_boilerplate,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -1057,6 +1065,19 @@ ORACLE_SQL = {
         "AND EXISTS (SELECT 1 FROM lineitem l "
         "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "dedup_boilerplate":
+        "WITH w AS (SELECT doc_id, "
+        "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+        "segs AS (SELECT doc_id, "
+        "md5(array_to_string(ws[(i-1)*10+1:i*10], ' ')) AS h "
+        "FROM w, unnest(range(1, CAST(ceil(len(ws)/10.0) AS INT) + 1)) "
+        "AS t(i)), "
+        "boiler AS (SELECT h FROM segs GROUP BY h "
+        "HAVING count(DISTINCT doc_id) >= 3) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments, "
+        "CAST(sum(CASE WHEN h IN (SELECT h FROM boiler) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate "
+        "FROM segs GROUP BY doc_id",
     "tpch_q7":
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
         "CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year, "
