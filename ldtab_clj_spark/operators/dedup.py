@@ -159,6 +159,9 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     """
     if mode == "arrow":
         return _simhash_arrow(docs, text_col)
+    if mode != "sql":
+        raise ValueError(f"unknown simhash mode {mode!r} "
+                         "(use 'sql' or 'arrow')")
     sh = doc_shingles(docs, text_col).withColumn(
         "h", F.md5(F.col("shingle")))
     # bit sums: nibble p (1..16), bit j (0..3)
@@ -192,11 +195,21 @@ def _simhash_arrow(docs: DataFrame, text_col: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # EXACT tokenization parity with the Catalyst path: F.trim strips
+    # U+0020 only, Java regex \s is ASCII-only, F.split keeps empty
+    # tokens, and doc_shingles does NOT drop empty-word shingles —
+    # unicode-\s Python splitting or an `if w` filter would emit
+    # different signatures for docs with tabs/newlines/NBSP (pinned by
+    # test_simhash_arrow_matches_sql's whitespace-edge corpus)
+    _ws = re.compile("[ \t\n\x0b\f\r]+")
+
     def sig(batches):
         for pdf in batches:
             out_ids, out_sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                words = [w for w in re.split(r"\s+", text.strip()) if w]
+                if text is None:
+                    continue   # sql path: null split → no shingles
+                words = _ws.split(text.strip(" "))
                 shingles = {f"{a} {b}"
                             for a, b in zip(words, words[1:])}
                 if not shingles:

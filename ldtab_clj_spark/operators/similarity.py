@@ -186,6 +186,9 @@ def srp_banded_near_dup(embeddings: DataFrame,
     corpus, pinned by tests)."""
     if mode == "arrow":
         bands = _srp_bands_arrow(embeddings, plane_tables, vec_col)
+    elif mode != "sql":
+        raise ValueError(f"unknown srp mode {mode!r} "
+                         "(use 'sql' or 'arrow')")
     else:
         n = with_norm(embeddings, vec_col)
         structs = []

@@ -446,15 +446,11 @@ def events_session_window(spark, sf):
     streaming-capable session aggregation; events_sessionize is the
     manual lag/cumsum twin. Session end = last event + gap (Spark's
     half-open [start, last+gap) semantics, reproduced exactly in the
-    oracle's gap-and-island SQL)."""
-    e = load(spark, sf, "events")
-    w = F.session_window(F.col("ts"), "30 minutes")
-    return (e.groupBy("user_id", w.alias("w"))
-            .agg(F.count("*").alias("n_events"))
-            .select("user_id",
-                    F.col("w.start").alias("session_start"),
-                    F.col("w.end").alias("session_end"),
-                    "n_events"))
+    oracle's gap-and-island SQL). Delegates to the SAME function the
+    streaming test drives (streaming/windows.py) — one implementation,
+    batch and stream."""
+    from .streaming.windows import session_event_counts
+    return session_event_counts(load(spark, sf, "events"))
 
 
 def dedup_boilerplate(spark, sf):

@@ -42,7 +42,12 @@ def _unescape(s: str) -> str:
         tok = m.group(0)
         if tok in _UNESCAPE:
             return _UNESCAPE[tok]
-        return chr(int(tok[2:], 16))
+        cp = int(tok[2:], 16)
+        if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            # lone surrogates / out-of-range: not encodable as UTF-8 —
+            # reject the line (ValueError → parse_nt_line skips it)
+            raise ValueError(f"invalid UCHAR codepoint U+{cp:X}")
+        return chr(cp)
     return re.sub(r'\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\[nrtbf\'"\\]',
                   sub, s)
 
@@ -53,10 +58,22 @@ _NT_UCHAR = re.compile(r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}")
 def _iri_unescape(iri: str) -> str:
     """UCHAR (\\uXXXX / \\UXXXXXXXX) unescaping inside IRIREF — the
     only escapes the N-Triples grammar allows in IRIs (canonical NT
-    tooling escapes all non-ASCII IRI characters this way)."""
+    tooling escapes all non-ASCII IRI characters this way).
+
+    Raises ValueError for codepoints outside Unicode or in the
+    surrogate block (a lone surrogate would fail UTF-8 encoding much
+    later, at the Arrow/parquet boundary); parse_nt_line turns that
+    into the standard skip-the-line behavior."""
     if "\\" not in iri:        # fast path: virtually all lines
         return iri
-    return _NT_UCHAR.sub(lambda m: chr(int(m.group(0)[2:], 16)), iri)
+
+    def sub(m):
+        cp = int(m.group(0)[2:], 16)
+        if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            raise ValueError(f"invalid UCHAR codepoint U+{cp:X}")
+        return chr(cp)
+
+    return _NT_UCHAR.sub(sub, iri)
 
 
 def parse_nt_line(line: str, prefixes: list[tuple[str, str]]):
@@ -69,6 +86,18 @@ def parse_nt_line(line: str, prefixes: list[tuple[str, str]]):
         return None
     (s_iri, s_blank, p_iri, o_iri, o_blank,
      o_lex, o_lang, o_dt) = m.groups()
+    try:
+        return _parse_groups(s_iri, s_blank, p_iri, o_iri, o_blank,
+                             o_lex, o_lang, o_dt, prefixes)
+    except ValueError:
+        # malformed UCHAR (out-of-range / surrogate codepoint): the
+        # line is unparseable — skip it like any other bad line
+        # instead of failing the whole task
+        return None
+
+
+def _parse_groups(s_iri, s_blank, p_iri, o_iri, o_blank,
+                  o_lex, o_lang, o_dt, prefixes):
     subject = s_blank if s_blank \
         else curify_with(_iri_unescape(s_iri), prefixes)
     predicate = curify_with(_iri_unescape(p_iri), prefixes)

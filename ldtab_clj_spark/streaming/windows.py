@@ -48,8 +48,14 @@ def session_event_counts(events_stream: DataFrame,
     df = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
+    # session math runs on TIMESTAMP (watermark requirement); outputs
+    # return to TIMESTAMP_NTZ — the events table's storage type — so
+    # batch, stream, driver query and the DuckDB oracle all agree on
+    # naive wall-clock values
     return (df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
             .agg(F.count("*").alias("n_events"))
             .select("user_id",
-                    F.col("w.start").alias("session_start"),
-                    F.col("w.end").alias("session_end"), "n_events"))
+                    F.col("w.start").cast("timestamp_ntz")
+                    .alias("session_start"),
+                    F.col("w.end").cast("timestamp_ntz")
+                    .alias("session_end"), "n_events"))

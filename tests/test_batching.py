@@ -109,3 +109,20 @@ def test_simhash_arrow_matches_sql(spark):
         [(1, ""), (2, "one"), (3, "two words")], "doc_id long, text string")
     assert {r.doc_id for r in
             simhash_signatures(tiny, mode="arrow").collect()} == {3}
+    # whitespace-edge corpus: tabs / newlines / NBSP / NULL text must
+    # produce IDENTICAL signatures in both modes (Java ASCII \s +
+    # space-only trim + kept empty tokens — the exact Catalyst
+    # tokenization), and an unknown mode must raise
+    edge = spark.createDataFrame(
+        [(1, "\tfoo bar"), (2, "foo\n"), (3, "a\u00a0b"),
+         (4, None), (5, "x \t y\r\nz"), (6, "  padded  ")],
+        "doc_id long, text string")
+    sql_e = {(r.doc_id, r.simhash)
+             for r in simhash_signatures(edge, mode="sql").collect()}
+    arrow_e = {(r.doc_id, r.simhash)
+               for r in simhash_signatures(edge, mode="arrow").collect()}
+    assert sql_e == arrow_e, (sorted(sql_e - arrow_e),
+                              sorted(arrow_e - sql_e))
+    import pytest
+    with pytest.raises(ValueError, match="unknown simhash mode"):
+        simhash_signatures(edge, mode="numpy")

@@ -122,3 +122,18 @@ def test_nt_iri_uchar_escapes():
         '<http://example.com/a> <http://example.com/p> '
         '<http://example.com/caf\\u00e9> .', prefixes)
     assert t2[2] == "ex:café"
+
+
+def test_nt_malformed_uchar_skips_line():
+    """Out-of-range or surrogate UCHAR codepoints make the LINE
+    unparseable (skipped), never a task-killing exception or a lone
+    surrogate that explodes later at the Arrow/parquet boundary."""
+    from ldtab_clj_spark.sources.ntriples import parse_nt_line
+    prefixes = [("ex", "http://example.com/")]
+    good = '<http://example.com/s> <http://example.com/p> "ok" .'
+    for bad in [
+        '<http://example.com/\\U00110000> <http://example.com/p> "v" .',
+        '<http://example.com/s> <http://example.com/p> "\\uD800" .',
+    ]:
+        assert parse_nt_line(bad, prefixes) is None
+    assert parse_nt_line(good, prefixes) is not None

@@ -5,7 +5,7 @@ pipeline on the same corpus."""
 import time
 
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ldtab_clj_spark.plans.pipeline import build_statements
 from ldtab_clj_spark.streaming.pipeline import (read_stream_result,
@@ -155,10 +155,7 @@ def test_watermarked_window_agg_stream_equals_batch(spark, tmp_path):
     # stream in event-time order so no window's data arrives after its
     # watermark expires (three ordered chunks)
     e = events.withColumn("_bucket",
-                          F.ntile(3).over(
-                              __import__("pyspark.sql.window",
-                                         fromlist=["Window"])
-                              .Window.orderBy("ts")))
+                          F.ntile(3).over(Window.orderBy("ts")))
     for i in range(1, 4):
         (e.filter(F.col("_bucket") == i).drop("_bucket")
          .coalesce(1).write.mode("append").parquet(in_dir))
@@ -256,10 +253,7 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     in_dir = str(tmp_path / "sw_in")
     e = events.withColumn("_bucket",
-                          F.ntile(3).over(
-                              __import__("pyspark.sql.window",
-                                         fromlist=["Window"])
-                              .Window.orderBy("ts")))
+                          F.ntile(3).over(Window.orderBy("ts")))
     for i in range(1, 4):
         (e.filter(F.col("_bucket") == i).drop("_bucket")
          .coalesce(1).write.mode("append").parquet(in_dir))
