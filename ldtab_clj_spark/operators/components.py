@@ -20,21 +20,13 @@ from pyspark.sql import functions as F
 MAX_ROUNDS = 32
 
 
-def blank_components(thin: DataFrame) -> DataFrame:
-    """Label every blank node with a component id (the min blank label
-    reachable through shared triples). Returns (blank, component)."""
-    s = thin.filter("is_blank_s").select(F.col("subject").alias("a"))
-    o = thin.filter("is_blank_o").select(F.col("object").alias("a"))
-    nodes = s.union(o).distinct()
-
-    # undirected edges between blank nodes that co-occur in one triple
-    both = thin.filter("is_blank_s AND is_blank_o")
-    edges = (both.select(F.col("subject").alias("a"),
-                         F.col("object").alias("b"))
-             .union(both.select(F.col("object").alias("a"),
-                                F.col("subject").alias("b")))
-             .distinct().localCheckpoint())
-
+def min_label_components(edges: DataFrame,
+                         nodes: DataFrame) -> DataFrame:
+    """Generic connected components by iterative min-label propagation
+    with pointer doubling. ``edges``: (a, b) with BOTH directions
+    present; ``nodes``: (a). Returns (a, component) where component is
+    the minimum node label in a's component. O(log diameter) rounds,
+    one self-join + one aggregate per round, lineage cut per round."""
     labels = nodes.withColumn("component", F.col("a")).localCheckpoint()
     converged = False
     for _ in range(MAX_ROUNDS):
@@ -65,9 +57,28 @@ def blank_components(thin: DataFrame) -> DataFrame:
             break
     if not converged:
         raise RuntimeError(
-            f"blank-node component closure did not converge in "
-            f"{MAX_ROUNDS} rounds — pathological bnode graph")
-    return labels.select(F.col("a").alias("blank"), "component")
+            f"component closure did not converge in "
+            f"{MAX_ROUNDS} rounds — pathological graph")
+    return labels
+
+
+def blank_components(thin: DataFrame) -> DataFrame:
+    """Label every blank node with a component id (the min blank label
+    reachable through shared triples). Returns (blank, component)."""
+    s = thin.filter("is_blank_s").select(F.col("subject").alias("a"))
+    o = thin.filter("is_blank_o").select(F.col("object").alias("a"))
+    nodes = s.union(o).distinct()
+
+    # undirected edges between blank nodes that co-occur in one triple
+    both = thin.filter("is_blank_s AND is_blank_o")
+    edges = (both.select(F.col("subject").alias("a"),
+                         F.col("object").alias("b"))
+             .union(both.select(F.col("object").alias("a"),
+                                F.col("subject").alias("b")))
+             .distinct().localCheckpoint())
+
+    return (min_label_components(edges, nodes)
+            .select(F.col("a").alias("blank"), "component"))
 
 
 def assign_components(thin: DataFrame) -> DataFrame:

@@ -108,6 +108,29 @@ def repeated_segment_stats(docs: DataFrame, text_col: str = "text",
                  .alias("n_boilerplate")))
 
 
+def near_dup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: connected components over
+    the (doc_a, doc_b) edge set via the same iterative min-label
+    propagation the blank-node closure uses (operators/components.py).
+    Returns (doc_id, cluster) where cluster = the component's minimum
+    doc_id — i.e. the representative a dedup pass keeps; every other
+    row in the cluster is a drop candidate. Only docs that appear in a
+    pair are returned (singletons are trivially their own cluster).
+
+    Scale shape: the candidate-pair relation is tiny next to the
+    corpus (it's already banded), so each round's self-join shuffles
+    narrow (id, label) rows; rounds = O(log component diameter)."""
+    from .components import min_label_components
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (e.unionByName(e.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+             .distinct().localCheckpoint())
+    nodes = edges.select("a").distinct()
+    return (min_label_components(edges, nodes)
+            .select(F.col("a").alias("doc_id"),
+                    F.col("component").alias("cluster")))
+
+
 N_MINHASH = 8
 BAND_SIZE = 2
 

@@ -453,6 +453,16 @@ def events_session_window(spark, sf):
     return session_event_counts(load(spark, sf, "events"))
 
 
+def dedup_minhash_clusters(spark, sf):
+    """The full dedup loop closed: MinHash-LSH candidate pairs →
+    connected-component duplicate clusters → (doc_id, cluster) with
+    cluster = kept representative (min doc_id). Oracle: recursive-CTE
+    min-label flood over the same pair SQL."""
+    from .operators.dedup import minhash_lsh_pairs, near_dup_clusters
+    return near_dup_clusters(minhash_lsh_pairs(
+        load(spark, sf, "documents")))
+
+
 def dedup_boilerplate(spark, sf):
     """C4-style boilerplate detection: 10-word segments recurring
     across ≥3 distinct docs; per-doc (n_segments, n_boilerplate)."""
@@ -745,6 +755,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_boilerplate": dedup_boilerplate,
+    "dedup_minhash_clusters": dedup_minhash_clusters,
     "text_token_count": text_token_count,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -1061,6 +1072,25 @@ ORACLE_SQL = {
         "AND EXISTS (SELECT 1 FROM lineitem l "
         "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "dedup_minhash_clusters":
+        # min-label flood as a recursive CTE: seed every endpoint with
+        # its own id, propagate a label along an edge only when it is
+        # smaller than the target (downhill) — the component minimum
+        # floods the whole component, min(label) per node extracts it
+        f"WITH RECURSIVE shingles AS ({_SHINGLES}), "
+        f"sigs AS (SELECT doc_id, {_SIG} FROM shingles GROUP BY doc_id), "
+        f"bands AS ({_BANDS}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b USING(band, bucket) "
+        "WHERE a.doc_id < b.doc_id), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "walk(node, label) AS ("
+        "SELECT a, a FROM edges "
+        "UNION SELECT e.b, w.label FROM walk w "
+        "JOIN edges e ON e.a = w.node WHERE w.label < e.b) "
+        "SELECT node AS doc_id, min(label) AS cluster "
+        "FROM walk GROUP BY node",
     "dedup_boilerplate":
         "WITH w AS (SELECT doc_id, "
         "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "

@@ -126,3 +126,14 @@ def test_simhash_arrow_matches_sql(spark):
     import pytest
     with pytest.raises(ValueError, match="unknown simhash mode"):
         simhash_signatures(edge, mode="numpy")
+
+
+def test_near_dup_clusters_known_graph(spark):
+    """Pairs (1-2)(2-3)(5-6) → components {1,2,3} rep 1 and {5,6}
+    rep 5; doc 4 (no pair) absent — singletons are their own cluster."""
+    from ldtab_clj_spark.operators.dedup import near_dup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    got = {(r.doc_id, r.cluster)
+           for r in near_dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
