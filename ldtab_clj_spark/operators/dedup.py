@@ -104,8 +104,7 @@ def repeated_segment_stats(docs: DataFrame, text_col: str = "text",
     return (segs.join(boiler, "h", "left")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_segments"),
-                 F.sum(F.coalesce(F.col("is_b"), F.lit(0)))
-                 .alias("n_boilerplate")))
+                 F.count("is_b").alias("n_boilerplate")))
 
 
 def near_dup_clusters(pairs: DataFrame) -> DataFrame:
@@ -237,9 +236,10 @@ def _simhash_arrow(docs: DataFrame, text_col: str) -> DataFrame:
                             for a, b in zip(words, words[1:])}
                 if not shingles:
                     continue
+                # set iteration order is irrelevant: bit SUMS commute
                 d = np.frombuffer(
                     b"".join(hashlib.md5(s.encode("utf-8")).digest()
-                             for s in sorted(shingles)),
+                             for s in shingles),
                     dtype=np.uint8).reshape(-1, 16)[:, :8]
                 nib = np.empty((len(d), 16), np.uint8)
                 nib[:, 0::2] = d >> 4          # hex string nibble order

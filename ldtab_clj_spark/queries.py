@@ -380,12 +380,18 @@ def tpch_q7(spark, sf):
     s = load(spark, sf, "supplier")
     o = load(spark, sf, "orders")
     c = load(spark, sf, "customer")
-    n1 = load(spark, sf, "nation").select(
-        F.col("n_nationkey").alias("s_nk"),
-        F.col("n_name").alias("supp_nation"))
-    n2 = load(spark, sf, "nation").select(
-        F.col("n_nationkey").alias("c_nk"),
-        F.col("n_name").alias("cust_nation"))
+    # pre-filter each nation dim to the two names so only pair-relevant
+    # rows survive the joins (the disjunctive pair predicate itself
+    # can't be pushed below the join)
+    both = ["NATION_1", "NATION_2"]
+    n1 = (load(spark, sf, "nation")
+          .filter(F.col("n_name").isin(both))
+          .select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (load(spark, sf, "nation")
+          .filter(F.col("n_name").isin(both))
+          .select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation")))
     pair = (((F.col("supp_nation") == "NATION_1")
              & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2")

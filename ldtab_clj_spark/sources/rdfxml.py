@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import THIN
-from .turtle import _RDF, _XSD, _to_thin, resolve_against
+from .turtle import _RDF, _XSD, _to_thin, has_scheme, resolve_against
 
 _XML_NS = "http://www.w3.org/XML/1998/namespace"
 
@@ -82,8 +82,7 @@ class _Parser:
         IRI with no base in scope would silently mint fragment-only /
         relative IRIs into the statement table, so it fails fast like
         the parser's other unsupported-construct paths."""
-        import re
-        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+        if has_scheme(iri):
             return iri
         if not base:
             raise RdfXmlError(
@@ -93,11 +92,10 @@ class _Parser:
 
     @staticmethod
     def scoped_base(el: ET.Element, base: str) -> str:
-        import re
         b = el.get(f"{{{_XML_NS}}}base")
         if b is None:
             return base
-        if not base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", b):
+        if not base and not has_scheme(b):
             # a relative xml:base with no outer base would smuggle
             # relative IRIs past the resolve() fail-fast below
             raise RdfXmlError(

@@ -77,6 +77,14 @@ class TurtleError(ValueError):
     pass
 
 
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def has_scheme(iri: str) -> bool:
+    """True when the reference is an absolute IRI (RFC 3986 scheme)."""
+    return bool(_SCHEME.match(iri))
+
+
 def resolve_against(base: str, iri: str) -> str:
     """RFC 3986 reference resolution (shared by the Turtle and RDF/XML
     readers): '../', absolute-path, fragment-only, empty and query
@@ -90,7 +98,7 @@ def resolve_against(base: str, iri: str) -> str:
     anything else raises rather than minting a relative IRI into the
     statement table."""
     from urllib.parse import urljoin, urlsplit, uses_relative
-    if not base or re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+    if not base or has_scheme(iri):
         return iri
     if urlsplit(base).scheme not in uses_relative:
         stem = base.split("#", 1)[0]
@@ -180,8 +188,7 @@ class _Parser:
         minting relative subjects would corrupt the statement table) —
         same contract as the RDF/XML reader."""
         iri = _iri_unescape(iri)
-        if not self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:",
-                                          iri):
+        if not self.base and not has_scheme(iri):
             raise TurtleError(
                 f"relative IRI <{iri}> with no @base in scope")
         return resolve_against(self.base, iri)
