@@ -43,9 +43,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark, sf_dir)
         return run
 
+    assert len(q.QUERIES) <= q.DRIVER_CAP, (
+        f"driver registry {len(q.QUERIES)} > cap {q.DRIVER_CAP}; "
+        "move twins to EXTRA_QUERIES")
     return {name: wrap(fn) for name, fn in q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     from ldtab_clj_spark import queries as q
-    return dict(q.ORACLE_SQL)
+    return {k: v for k, v in q.ORACLE_SQL.items() if k in q.QUERIES}

@@ -131,6 +131,28 @@ def _pair_dot_udf():
     return pandas_udf(pair_dot, "double")
 
 
+def _pair_dot_seq_udf():
+    """Like _pair_dot_udf but accumulating dimension-by-dimension in
+    index order — BIT-identical to the Catalyst fold (einsum's blocked
+    summation is only value-equal to the last ulp). Used where the
+    arrow twin must preserve exact rank order, e.g. IVF probe scoring;
+    still vectorized ACROSS rows, so ~dim numpy ops per batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def pair_dot(a, b):
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(A))
+        for d in range(A.shape[1]):
+            acc += A[:, d] * B[:, d]
+        return pd.Series(acc)
+    pair_dot.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                                "return": pd.Series}
+    return pandas_udf(pair_dot, "double")
+
+
 def _srp_bands_arrow(embeddings: DataFrame, plane_tables,
                      vec_col: str) -> DataFrame:
     """(vec_id, _v, _norm, tbl, bucket) via ONE numpy matmul per Arrow
@@ -251,7 +273,49 @@ def _minid_centroids(embeddings: DataFrame, n_centroids: int,
                     F.col("_norm").alias("_cnorm")))
 
 
-def _assign_to_centroids(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign_arrow(corpus: DataFrame, cent_rows) -> DataFrame:
+    """Arrow-batched twin of the literal-fold assignment: one
+    vectorized pass per batch instead of ~n_centroids × dim interpreted
+    boxed multiply-adds per row (the round-3 hot-path finding).
+
+    BIT-IDENTICAL to the sql mode, not merely equivalent: the dot
+    products accumulate dimension-by-dimension in index order
+    (``sims += V[:, d] ⊗ C[:, d]``), reproducing the Catalyst fold's
+    left-to-right IEEE addition sequence exactly — a plain matmul's
+    blocked summation could flip an argmax between two near-tied
+    centroids. Ties and NaNs also match: centroids are ordered by
+    cent_id and np.argmax takes the FIRST max (= lowest cent_id, the
+    struct-order rule), and a NaN row argmaxes to its first NaN just
+    as Spark's NaN-is-largest ordering does. Parity is pinned by
+    tests/test_similarity.py on real corpora per the repo's
+    Catalyst-parity rule for arrow twins."""
+    import numpy as np
+    import pandas as pd
+    C = np.array([r["_c"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.array([float(r["_cnorm"]) for r in cent_rows])
+    cent_ids = np.array([int(r["cent_id"]) for r in cent_rows],
+                        dtype=np.int32)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            sims = np.zeros((len(pdf), len(C)))
+            for d in range(C.shape[1]):  # fold-order accumulation
+                sims += V[:, d, None] * C[None, :, d]
+            sims /= (pdf["_norm"].to_numpy()[:, None] * cnorm[None, :])
+            pdf = pdf.copy()
+            pdf["cent_id"] = cent_ids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    return corpus.select("vec_id", "_v", "_norm").mapInPandas(
+        assign, "vec_id long, _v array<double>, _norm double, "
+                "cent_id int")
+
+
+def _assign_to_centroids(corpus: DataFrame, cent: DataFrame,
+                         mode: str = "sql") -> DataFrame:
     """(vec_id, _v, _norm) → nearest-centroid assignment as a PURE MAP:
     the centroid table is broadcast-sized by definition, so it is
     collected (like a prefix table) and folded into a literal argmax
@@ -266,6 +330,11 @@ def _assign_to_centroids(corpus: DataFrame, cent: DataFrame) -> DataFrame:
     cent_rows = sorted(cent.collect(), key=lambda r: r["cent_id"])
     if not cent_rows:
         raise ValueError("empty centroid table")
+    if mode == "arrow":
+        return _assign_arrow(corpus, cent_rows)
+    if mode != "sql":
+        raise ValueError(f"unknown assign mode {mode!r} "
+                         "(use 'sql' or 'arrow')")
     # one candidate struct per centroid, argmax via array_max's
     # lexicographic struct order: highest csim, then highest -cent_id
     # (= lowest cent_id). Linear expression tree — a chained
@@ -328,7 +397,8 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
                     n_centroids: int = 16, n_probe: int = 2, k: int = 5,
                     vec_col: str = "embedding",
                     centroids: str = "minid",
-                    n_iter: int = 2) -> DataFrame:
+                    n_iter: int = 2,
+                    assign_mode: str = "sql") -> DataFrame:
     """IVF-style ANN: assign every corpus vector to its nearest
     centroid (the inverted-file bucket), search only the query's
     ``n_probe`` nearest buckets — the other classic bucketed ANN shape
@@ -347,7 +417,7 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
     else:
         cent = _minid_centroids(embeddings, n_centroids, vec_col)
     corpus = with_norm(embeddings, vec_col).select("vec_id", "_v", "_norm")
-    assigned = _assign_to_centroids(corpus, cent)
+    assigned = _assign_to_centroids(corpus, cent, mode=assign_mode)
     probes = (with_norm(queries, vec_col)
               .select(F.col("vec_id").alias("query_id"),
                       F.col("_v").alias("_q"),
@@ -360,9 +430,16 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
                       F.desc("csim"), F.asc("cent_id"))))
               .filter(F.col("crnk") <= n_probe)
               .select("query_id", "_q", "_qnorm", "cent_id"))
+    # probe scoring: arrow mode swaps the interpreted fold for the
+    # fold-order-exact vectorized pair dot (same bit pattern, so the
+    # rank order — pinned by the parity test — cannot drift)
+    if assign_mode == "arrow":
+        probe_dot = _pair_dot_seq_udf()(F.col("_v"), F.col("_q"))
+    else:
+        probe_dot = _dot(F.col("_v"), F.col("_q"))
     scored = (assigned.join(F.broadcast(probes), "cent_id")
               .filter(F.col("vec_id") != F.col("query_id"))
-              .withColumn("sim", _dot(F.col("_v"), F.col("_q"))
+              .withColumn("sim", probe_dot
                           / (F.col("_norm") * F.col("_qnorm"))))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("vec_id"))

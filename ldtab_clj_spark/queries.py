@@ -447,6 +447,83 @@ def tpch_q19(spark, sf):
             .agg(_revenue_sum()))
 
 
+def tpch_q2(spark, sf):
+    """Min-cost supplier (q2 shape): written as SQL with a genuinely
+    CORRELATED scalar subquery so Catalyst's decorrelation rewrite is
+    exercised (the schema has no partsupp table, so per-(part, supp)
+    min lineitem price in exact cents stands in for ps_supplycost).
+    Ties on the per-part minimum keep ALL matching suppliers (TPC-H
+    semantics); the ORDER BY ends in the unique (p_partkey, s_suppkey)
+    pair so the LIMIT cut is deterministic across engines."""
+    for t in ("lineitem", "part", "supplier", "nation"):
+        load(spark, sf, t).createOrReplaceTempView(f"q2_{t}")
+    return spark.sql("""
+        WITH cost AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS cost_cents
+          FROM q2_lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               -- 100.0 would parse as DECIMAL in Spark SQL (decimal
+               -- division -> pandas object dtype); force double
+               c.cost_cents / CAST(100 AS DOUBLE) AS supply_cost
+        FROM q2_part p
+        JOIN cost c ON p.p_partkey = c.partkey
+        JOIN q2_supplier s ON c.suppkey = s.s_suppkey
+        JOIN q2_nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_type = 'SMALL' AND p.p_size < 10
+          AND c.cost_cents = (SELECT min(c2.cost_cents) FROM cost c2
+                              WHERE c2.partkey = p.p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        LIMIT 100""")
+
+
+def tpch_q9(spark, sf):
+    """Product-type profit (q9 shape): multi-way join with a LIKE
+    filter on part name, profit = revenue - retail-cost*qty in exact
+    basis points (p_retailprice stands in for ps_supplycost), grouped
+    by supplier nation and order year. The filtered part dim (~12% of
+    2k rows) and nation are broadcast; one agg shuffle."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders")
+    n = load(spark, sf, "nation")
+    profit_bp = (_cents("l_extendedprice") * (100 - _cents("l_discount"))
+                 - _cents("p_retailprice")
+                 * F.col("l_quantity").cast("long") * 100)
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(n),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year(F.col("o_orderdate").cast("date"))
+                     .alias("o_year"))
+            .agg((F.sum(profit_bp) / 10000.0).alias("sum_profit")))
+
+
+def tpch_q18(spark, sf):
+    """Large-volume customers (q18 shape): a grouped HAVING over
+    lineitem feeds a join back to orders/customer — the semi-join-on-
+    aggregate idiom. Quantities are integral doubles, summed as BIGINT
+    so the HAVING threshold is exact; the final ORDER BY ends in the
+    unique o_orderkey so LIMIT 100 is deterministic."""
+    li = load(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    (_cents("o_totalprice") / 100.0).alias("total_price"),
+                    "total_qty")
+            .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+            .limit(100))
+
+
 def events_session_window(spark, sf):
     """NATIVE session windows (F.session_window, 30-minute gap) — the
     streaming-capable session aggregation; events_sessionize is the
@@ -595,6 +672,49 @@ def so5_state_replay(spark, sf):
     return current_state(hist, at_transaction=3)
 
 
+def order_history(spark, sf):
+    """Synthetic 5-transaction statement history over orders: every row
+    asserted at tid 1-5 (o_orderkey%5+1); every third row with an early
+    assertion is retracted 1-2 transactions later — so each replay T
+    sees a distinct live set. Shared by so5_state_at_t and the
+    all-T pytest sweep."""
+    o = load(spark, sf, "orders")
+    a = (F.col("o_orderkey") % 5 + 1).cast("long")
+    r = (F.when((F.col("o_orderkey") % 3 == 0) & (a <= 3),
+                a + 1 + F.col("o_orderkey") % 2)
+         .otherwise(F.lit(0)).cast("long"))
+    return o.select(
+        a.alias("assertion"), r.alias("retraction"),
+        F.lit("graph").alias("graph"),
+        F.concat(F.lit("ex:o"), F.col("o_orderkey")).alias("subject"),
+        F.lit("ex:status").alias("predicate"),
+        F.col("o_orderstatus").alias("object"),
+        F.lit("xsd:string").alias("datatype"),
+        F.lit(None).cast("string").alias("annotation"))
+
+
+STATE_AT_T_ORACLE = (
+    "SELECT graph, subject, predicate, object, datatype, annotation "
+    "FROM (SELECT CAST(o_orderkey % 5 + 1 AS BIGINT) AS assertion, "
+    "CAST(CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 + 1 <= 3 "
+    "THEN o_orderkey % 5 + 2 + o_orderkey % 2 ELSE 0 END AS BIGINT) "
+    "AS retraction, "
+    "'graph' AS graph, 'ex:o' || o_orderkey AS subject, "
+    "'ex:status' AS predicate, o_orderstatus AS object, "
+    "'xsd:string' AS datatype, CAST(NULL AS VARCHAR) AS annotation "
+    "FROM orders) WHERE assertion <= {t} "
+    "AND (retraction = 0 OR retraction > {t})")
+
+
+def so5_state_at_t(spark, sf):
+    """R12/SO5: state-at-arbitrary-transaction replay
+    (diff.clj:151-164) at a mid-history tid over a history that has
+    both later assertions AND retractions straddling the replay point.
+    tests/test_thick.py sweeps the same replay at every tid 1-5."""
+    from .operators.diff import current_state
+    return current_state(order_history(spark, sf), at_transaction=2)
+
+
 def c4_tsv_escape(spark, sf):
     """C4/K2: newline/tab TSV escaping (export.clj:17-29)."""
     from .operators.export import escape_tsv
@@ -720,15 +840,22 @@ def kg_pipeline_media(spark, sf):
     return run_pipeline(spark, n_docs=300, seed=42, include_media=True)
 
 
+# Driver registry: exactly DRIVER_CAP entries so every one gets a
+# CORRECTNESS row each round (the driver caps the file at 50 rows —
+# a 57-entry registry in round 3 rotated 7 entries out of the check).
+# Guarded brute-force verifiers and redundant operator twins live in
+# EXTRA_QUERIES below; they run through the SAME oracle harness via
+# tools/check_oracles.py and tests/test_oracle_registry.py.
+DRIVER_CAP = 50
+
 QUERIES = {
     "kg_pipeline_statements": kg_pipeline_statements,
     "kg_roundtrip_reimport": kg_roundtrip_reimport,
     "kg_pipeline_media": kg_pipeline_media,
     "c2_curify": c2_curify,
     "j6_curie_expand": j6_curie_expand,
-    "so5_state_replay": so5_state_replay,
+    "so5_state_at_t": so5_state_at_t,
     "c4_tsv_escape": c4_tsv_escape,
-    "ann_near_dup": ann_near_dup,
     "ann_srp_near_dup": ann_srp_near_dup,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -736,29 +863,31 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
     "s3_scan_filter_project": s3_scan_filter_project,
     "a1_group_collect": a1_group_collect,
-    "a4_max_transaction": a4_max_transaction,
-    "a5_distinct_sorted": a5_distinct_sorted,
     "a8_get_type": a8_get_type,
     "j3_semi_join": j3_semi_join,
     "j4_anti_join": j4_anti_join,
-    "j5_prefix_longest_match": j5_prefix_longest_match,
     "j8_entity_link_join": j8_entity_link_join,
     "so1_union_dedup": so1_union_dedup,
     "so4_symmetric_diff": so4_symmetric_diff,
     "w4_rank_window": w4_rank_window,
     "f7_statement_rows": f7_statement_rows,
     "tpch_q1": tpch_q1,
+    "tpch_q2": tpch_q2,
     "tpch_q3": tpch_q3,
+    "tpch_q4": tpch_q4,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
+    "tpch_q7": tpch_q7,
+    "tpch_q9": tpch_q9,
+    "tpch_q10": tpch_q10,
     "tpch_q12": tpch_q12,
     "tpch_q14": tpch_q14,
+    "tpch_q18": tpch_q18,
+    "tpch_q19": tpch_q19,
     "events_hourly_window": events_hourly_window,
-    "events_sessionize": events_sessionize,
+    "events_session_window": events_session_window,
     "dedup_exact": dedup_exact,
-    "dedup_word_jaccard": dedup_word_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_boilerplate": dedup_boilerplate,
     "dedup_minhash_clusters": dedup_minhash_clusters,
@@ -767,17 +896,30 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_token_bpe": text_token_bpe,
-    "text_winnow": text_winnow,
     "text_term_stats": text_term_stats,
-    "tpch_q4": tpch_q4,
-    "tpch_q7": tpch_q7,
-    "tpch_q10": tpch_q10,
-    "tpch_q19": tpch_q19,
-    "events_session_window": events_session_window,
-    "ann_cosine_topk": ann_cosine_topk,
-    "kg_mention_extract": kg_mention_extract,
     "kg_mention_extract_join": kg_mention_extract_join,
     "diff_transactions": diff_transactions,
+}
+
+# Oracle-checked but NOT driver-submitted: the quadratic guarded
+# verifiers (ann_near_dup, dedup_word_jaccard, kg_mention_extract,
+# ann_cosine_topk) and twins whose operator is already driver-covered
+# by its scale-path sibling (dedup_simhash ⊂ dedup_simhash_pairs,
+# events_sessionize ~ events_session_window, j5 window form ~
+# c2_curify CASE form + w4 windows, so5_state_replay ⊂ so5_state_at_t,
+# a4/a5 trivial aggregates, text_winnow ~ text_fingerprint).
+EXTRA_QUERIES = {
+    "ann_near_dup": ann_near_dup,
+    "ann_cosine_topk": ann_cosine_topk,
+    "dedup_word_jaccard": dedup_word_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "kg_mention_extract": kg_mention_extract,
+    "events_sessionize": events_sessionize,
+    "j5_prefix_longest_match": j5_prefix_longest_match,
+    "so5_state_replay": so5_state_replay,
+    "a4_max_transaction": a4_max_transaction,
+    "a5_distinct_sorted": a5_distinct_sorted,
+    "text_winnow": text_winnow,
 }
 
 _CENTS_PRICE = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
@@ -1142,6 +1284,46 @@ ORACLE_SQL = {
         "AND l_quantity BETWEEN 10 AND 20) "
         "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
         "AND l_quantity BETWEEN 20 AND 30)",
+    "tpch_q2":
+        "WITH cost AS (SELECT l_partkey AS partkey, "
+        "l_suppkey AS suppkey, "
+        "min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) "
+        "AS cost_cents FROM lineitem GROUP BY l_partkey, l_suppkey) "
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, "
+        "c.cost_cents / 100.0 AS supply_cost "
+        "FROM part p JOIN cost c ON p.p_partkey = c.partkey "
+        "JOIN supplier s ON c.suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "WHERE p.p_type = 'SMALL' AND p.p_size < 10 "
+        "AND c.cost_cents = (SELECT min(c2.cost_cents) FROM cost c2 "
+        "WHERE c2.partkey = p.p_partkey) "
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey "
+        "LIMIT 100",
+    "tpch_q9":
+        "SELECT n_name AS nation, "
+        "CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year, "
+        f"sum({_CENTS_REVENUE} "
+        "- CAST(round(p_retailprice * 100, 0) AS BIGINT) "
+        "* CAST(l_quantity AS BIGINT) * 100) / 10000.0 AS sum_profit "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        # GROUP BY the base columns: the alias `nation` would bind to
+        # the joined nation TABLE in DuckDB, not the output column
+        "WHERE p_name LIKE '%bolt%' GROUP BY n_name, o_year",
+    "tpch_q18":
+        "WITH big AS (SELECT l_orderkey, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty "
+        "FROM lineitem GROUP BY l_orderkey "
+        "HAVING sum(CAST(l_quantity AS BIGINT)) > 250) "
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) / 100.0 "
+        "AS total_price, total_qty "
+        "FROM big JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY total_price DESC, o_orderkey LIMIT 100",
+    "so5_state_at_t": STATE_AT_T_ORACLE.format(t=2),
     "events_session_window":
         # Spark session_window semantics: an event at exactly
         # prev + 30min starts a NEW session (half-open [start,

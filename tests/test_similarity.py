@@ -71,6 +71,40 @@ def test_srp_arrow_confirm_matches_sql(spark, emb):
     assert sql == arrow and sql
 
 
+def test_ivf_assign_arrow_bit_parity(spark, emb):
+    """The numpy assignment twin must be BIT-identical to the literal
+    Catalyst fold — same (vec_id → cent_id) map AND same downstream
+    top-k — because the arrow path reproduces the fold's left-to-right
+    summation order per dimension (Catalyst-parity rule for arrow
+    twins; a plain matmul's blocked sums could flip near-tied argmax)."""
+    from ldtab_clj_spark.operators.similarity import (
+        _assign_to_centroids, _minid_centroids, ivf_cosine_topk,
+        with_norm)
+    cent = _minid_centroids(emb, 16, "embedding")
+    corpus = with_norm(emb, "embedding").select("vec_id", "_v", "_norm")
+    sql_assign = {r.vec_id: r.cent_id for r in
+                  _assign_to_centroids(corpus, cent, "sql").collect()}
+    arrow_assign = {r.vec_id: r.cent_id for r in
+                    _assign_to_centroids(corpus, cent, "arrow").collect()}
+    assert sql_assign == arrow_assign and sql_assign
+    assert len(set(sql_assign.values())) > 1, "degenerate assignment"
+    queries = emb.filter(F.col("vec_id") < 5)
+    sql_topk = sorted(map(tuple, ivf_cosine_topk(
+        emb, queries, 16, 2, 5, assign_mode="sql").collect()))
+    arrow_topk = sorted(map(tuple, ivf_cosine_topk(
+        emb, queries, 16, 2, 5, assign_mode="arrow").collect()))
+    assert sql_topk == arrow_topk and sql_topk
+
+
+def test_ivf_assign_bad_mode_raises(spark, emb):
+    from ldtab_clj_spark.operators.similarity import (
+        _assign_to_centroids, _minid_centroids, with_norm)
+    cent = _minid_centroids(emb, 4, "embedding")
+    corpus = with_norm(emb, "embedding").select("vec_id", "_v", "_norm")
+    with pytest.raises(ValueError, match="assign mode"):
+        _assign_to_centroids(corpus, cent, "numpy")
+
+
 def test_ivf_topk_recall_vs_exact(spark, emb):
     """IVF-bucketed ANN: results must be true neighbors from the
     probed buckets with correct ranks, and recall vs exact top-k must

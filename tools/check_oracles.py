@@ -42,7 +42,10 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{sf_dir}/{t}.parquet'")
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    from ldtab_clj_spark.queries import EXTRA_QUERIES, ORACLE_SQL
+    qs = dict(entrymod.queries())
+    qs.update(EXTRA_QUERIES)  # displaced twins stay oracle-checked here
+    oracles = dict(ORACLE_SQL)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
