@@ -117,6 +117,16 @@ def _do_import(spark, args, prefix_df, tmp_paths: list) -> int:
     # import.clj:148-154): .nt → N-Triples, .ttl → Turtle,
     # .owl/.rdf/.rdfxml → RDF/XML, else docs parquet
     ext = Path(args.input.rstrip("/")).suffix.lower()
+    is_docs = ext not in (".nt", ".ttl", ".owl", ".rdf", ".rdfxml") \
+        and not args.nt
+    if args.include_media and (args.streaming or not is_docs):
+        # fail loudly: the media stage only exists on the docs-parquet
+        # batch branch — silently returning a table with no media
+        # statements is worse than an error (r4 ADVICE)
+        print("error: --include-media requires a docs-parquet BATCH "
+              "import (not --streaming, not an RDF input)",
+              file=sys.stderr)
+        return 2
     if args.streaming and ext in (".ttl", ".owl", ".rdf", ".rdfxml"):
         print("warning: --streaming applies to .nt and docs-parquet "
               "inputs only (Turtle/RDF-XML need whole files); "

@@ -105,10 +105,23 @@ def write_statements(statements: DataFrame, path: str,
 
     per_file = _per_file_rows(spark, path)
     prior = _read_sidecar(spark, path) if mode == "append" else []
-    known = {r["file"] for r in prior} | pre
+    in_sidecar = {r["file"] for r in prior}
+    known = in_sidecar | pre
     ts = int(time.time())
     new = [{"file": name, "rows": n, "run_id": run_id, "ts": ts}
            for name, n in sorted(per_file.items()) if name not in known]
+    # reconcile, don't exclude: files on disk before this write but
+    # absent from the sidecar are orphans of a crash between a prior
+    # parquet append and its sidecar append. Adopt them under a
+    # sentinel run_id so verify_lineage converges on re-run instead of
+    # staying false forever. Safe under concurrency: if the racing run
+    # later appends its own entry for the same file, first-entry-wins
+    # dedup in _read_sidecar keeps one row (counts are identical —
+    # both come from the parquet footer).
+    adopted = [{"file": name, "rows": per_file[name],
+                "run_id": "adopted", "ts": ts}
+               for name in sorted(pre - in_sidecar) if name in per_file]
+    new = adopted + new
     if mode == "append":
         # append ONLY this run's rows (atomic single O_APPEND write /
         # new part files): concurrent imports never rewrite each

@@ -67,6 +67,11 @@ def get_spark(app_name: str = "ldtab_clj_spark",
         # bit-identical across batch sizes (pinned by test)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # pin the session timezone: streaming/windows.py casts
+        # TIMESTAMP_NTZ through TIMESTAMP to drive session_window, so
+        # a non-UTC JVM zone would shift wall-clock values across DST
+        # transitions and diverge from the naive-time DuckDB oracles
+        .config("spark.sql.session.timeZone", "UTC")
         # sane scan granularity for the 100 TB case: 128 MB splits
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -117,9 +117,21 @@ def resolve_against(base: str, iri: str) -> str:
 
 def _iri_unescape(iri: str) -> str:
     """UCHAR (``\\uXXXX`` / ``\\UXXXXXXXX``) unescaping inside IRIREF —
-    the only escapes Turtle allows in IRIs; anything else errors."""
-    out = re.sub(r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}",
-                 lambda m: chr(int(m.group(0)[2:], 16)), iri)
+    the only escapes Turtle allows in IRIs; anything else errors.
+
+    Mirrors the N-Triples twin's codepoint validation: a lone
+    surrogate (``\\uD800``) or out-of-range ``\\U`` would otherwise
+    surface much later as an opaque UnicodeEncodeError inside an
+    executor task at the Arrow/parquet boundary — both readers fail
+    fast with their own error type instead."""
+    def sub(m):
+        cp = int(m.group(0)[2:], 16)
+        if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            raise TurtleError(
+                f"invalid UCHAR codepoint U+{cp:X} in IRI <{iri}>")
+        return chr(cp)
+
+    out = re.sub(r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}", sub, iri)
     if "\\" in out:
         raise TurtleError(f"invalid escape in IRI <{iri}>")
     return out

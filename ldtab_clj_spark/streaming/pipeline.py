@@ -53,9 +53,44 @@ def ann_keys_path(table_path: str) -> str:
     return table_path + "_annkeys"
 
 
+COMPACT_EVERY = 16
+
+
+def compact_ann_keys(spark: SparkSession, table_path: str) -> None:
+    """Rewrite the ann-keys side table deduped on KEYS.
+
+    The per-batch append accretes one file and up to one duplicate key
+    set per micro-batch, so an uncompacted side table degrades the
+    per-batch read linearly in batch COUNT (round-3 finding). Runs
+    every COMPACT_EVERY batches and at availableNow completion.
+
+    Crash-safe without atomic rename: the deduped copy is fully
+    written to a sibling tmp dir before the old table is dropped; if
+    the process dies between drop and rename, the side table is merely
+    ABSENT and the next stream start rebuilds it from the statement
+    table (the existing bootstrap path) — never wrong, at worst one
+    extra scan."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    keys_path = ann_keys_path(table_path)
+    if not Path(keys_path).exists():
+        return
+    tmp = keys_path + "_compact_tmp"
+    # no coalesce(1): dedup's shuffle already bounds the file count at
+    # spark.sql.shuffle.partitions, and a single reducer would choke
+    # on a 100 TB-history key table
+    (spark.read.parquet(keys_path).dropDuplicates(KEYS)
+     .write.mode("overwrite").parquet(tmp))
+    shutil.rmtree(keys_path)
+    os.rename(tmp, keys_path)
+
+
 def _start_streaming(spark: SparkSession, stream: DataFrame,
                      statements_fn, table_path: str, checkpoint: str,
-                     available_now: bool = True):
+                     available_now: bool = True,
+                     compact_every: int = COMPACT_EVERY):
     """Shared incremental-import driver: per micro-batch, build the
     statement rows (``statements_fn``), apply the cross-batch
     superfluous-annotation backlog rule, append idempotently."""
@@ -100,6 +135,8 @@ def _start_streaming(spark: SparkSession, stream: DataFrame,
         # replays the batch (checkpointed source), and duplicate keys
         # are harmless (the anti-join only tests membership)
         ann_keys.write.mode("append").parquet(keys_path)
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_ann_keys(spark, table_path)
 
     writer = (stream.writeStream
               .foreachBatch(handle_batch)
@@ -112,7 +149,8 @@ def _start_streaming(spark: SparkSession, stream: DataFrame,
 def run_streaming_import(spark: SparkSession, in_dir: str,
                          table_path: str, checkpoint: str,
                          entity_dict: DataFrame,
-                         available_now: bool = True):
+                         available_now: bool = True,
+                         compact_every: int = COMPACT_EVERY):
     """Incremental import: docs stream → statement table appends.
 
     Returns the StreamingQuery (call ``awaitTermination()``)."""
@@ -120,13 +158,14 @@ def run_streaming_import(spark: SparkSession, in_dir: str,
     return _start_streaming(
         spark, stream_docs_from_dir(spark, in_dir),
         lambda docs: build_statements(docs, dict_cached),
-        table_path, checkpoint, available_now)
+        table_path, checkpoint, available_now, compact_every)
 
 
 def run_streaming_import_nt(spark: SparkSession, in_path: str,
                             table_path: str, checkpoint: str,
                             prefix_df: DataFrame,
-                            available_now: bool = True):
+                            available_now: bool = True,
+                            compact_every: int = COMPACT_EVERY):
     """Incremental N-Triples import — the reference's actual
     ``import --streaming`` surface (import.clj:142-184 streams its RDF
     input in windows with a backlog).
@@ -163,7 +202,8 @@ def run_streaming_import_nt(spark: SparkSession, in_path: str,
         in_path = str(p.parent)
     stream = reader.text(in_path)
     return _start_streaming(spark, stream, statements_fn,
-                            table_path, checkpoint, available_now)
+                            table_path, checkpoint, available_now,
+                            compact_every)
 
 
 def read_stream_result(spark: SparkSession, table_path: str) -> DataFrame:
@@ -176,4 +216,8 @@ def read_stream_result(spark: SparkSession, table_path: str) -> DataFrame:
     from ..schemas import STATEMENT
     if not Path(table_path).exists():
         return spark.createDataFrame([], STATEMENT)
+    # end-of-stream compaction (the availableNow completion hook):
+    # callers fetch the result exactly when the stream has drained, so
+    # the side table left for the NEXT incremental run is deduped
+    compact_ann_keys(spark, table_path)
     return dedup_statements(spark.read.parquet(table_path))

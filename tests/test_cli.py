@@ -157,3 +157,29 @@ def test_cli_streaming_single_file_and_empty_dir(spark, tmp_path):
                  "--streaming"]) == 0
     assert spark.read.parquet(f"{db}/statement").count() == len(rows)
     assert not list(pathlib.Path(db, "tmp").glob("*"))
+
+
+def test_cli_include_media_rejected_off_batch_docs_path(spark, tmp_path,
+                                                        capsys):
+    """--include-media only exists on the docs-parquet batch branch;
+    combining it with --streaming or an RDF input must error loudly
+    instead of silently importing without media statements."""
+    db = str(tmp_path / "db")
+    (tmp_path / "p.tsv").write_text(PREFIX_TSV)
+    assert main(["init", db]) == 0
+    assert main(["prefix", db, str(tmp_path / "p.tsv")]) == 0
+    docs_dir = str(tmp_path / "docs")
+    synth_docs(spark, 10, seed=7).write.parquet(docs_dir)
+    nt = tmp_path / "x.nt"
+    nt.write_text("<http://example.com/a> <http://example.com/p> "
+                  "<http://example.com/b> .\n")
+
+    assert main(["import", db, docs_dir, "--streaming",
+                 "--include-media"]) == 2
+    assert main(["import", db, str(nt), "--include-media"]) == 2
+    assert "--include-media" in capsys.readouterr().err
+    # the valid combination still works
+    assert main(["import", db, docs_dir, "--include-media"]) == 0
+    media = spark.read.parquet(f"{db}/statement") \
+        .filter("predicate = 'ex:featureHash'")
+    assert media.count() > 0

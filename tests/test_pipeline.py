@@ -137,6 +137,39 @@ def test_materialize_append_lineage_deltas(spark, tmp_path, statements):
     assert verify_lineage(spark, out)
 
 
+def test_append_adopts_orphan_files_after_crash(spark, tmp_path,
+                                                statements):
+    """A crash between the parquet append and the sidecar append
+    leaves on-disk files with no lineage entry. The next append must
+    ADOPT them (sentinel run_id) so verify_lineage converges — the
+    documented re-run-on-mismatch resume loop depends on it (r4
+    ADVICE: the round-3 `known = prior | pre` exclusion wedged
+    verify_lineage forever)."""
+    import json
+    from pathlib import Path
+
+    from ldtab_clj_spark.operators.materialize import (verify_lineage,
+                                                       write_statements)
+    out = str(tmp_path / "statement")
+    n = statements.count()
+    write_statements(statements, out, partitions=4, run_id="r1")
+    # simulate the crashed append: data files land, sidecar doesn't
+    statements.limit(7).write.mode("append").parquet(out)
+    assert not verify_lineage(spark, out)  # mismatch detected...
+    info = write_statements(statements, out, partitions=4, run_id="r3",
+                            mode="append")
+    assert verify_lineage(spark, out)      # ...and the re-run converges
+    assert info["rows"] == 2 * n + 7
+    rows = [json.loads(line) for line in
+            (Path(out + "_lineage") / "lineage.json").read_text()
+            .splitlines()]
+    by_run = {}
+    for r in rows:
+        by_run[r["run_id"]] = by_run.get(r["run_id"], 0) + r["rows"]
+    assert by_run.get("adopted") == 7 and by_run["r1"] == n \
+        and by_run["r3"] == n
+
+
 def test_sidecar_append_survives_interleaved_runs(spark, tmp_path):
     """Concurrent appends into one table must not drop each other's
     lineage entries: the sidecar update is append-only (one O_APPEND

@@ -100,6 +100,49 @@ def test_streaming_backlog_uses_compact_key_table(spark, tmp_path):
     assert {tuple(r) for r in side.collect()} == {k1[2:7]}
 
 
+def test_ann_keys_side_table_stays_bounded(spark, tmp_path):
+    """Round-3 finding: the side table accreted one file + one
+    duplicate key set per micro-batch forever. With periodic
+    compaction (every N batches) plus the end-of-stream compaction in
+    read_stream_result, rows collapse to the DISTINCT annotated keys
+    and the file count stays bounded by shuffle partitions — across
+    3N batches that all re-announce the same annotation."""
+    from pathlib import Path
+
+    from ldtab_clj_spark.schemas import STATEMENT
+    from ldtab_clj_spark.streaming.pipeline import (_start_streaming,
+                                                    ann_keys_path)
+
+    ann = '{"ex:src":[{"datatype":"xsd:string","object":"dup"}]}'
+    k_ann = (1, 0, "graph", "ex:s", "ex:p", "ex:o", "_IRI")
+    n_batches, compact_every = 6, 2
+    in_dir = str(tmp_path / "cp_in")
+    for i in range(n_batches):
+        rows = [k_ann + (ann,),  # same annotated key EVERY batch
+                (1, 0, "graph", f"ex:b{i}", "ex:p", "x", "_IRI", None)]
+        spark.createDataFrame(rows, STATEMENT).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+    table = str(tmp_path / "cp_table")
+    stream = (spark.readStream.schema(STATEMENT)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = _start_streaming(spark, stream, lambda df: df, table,
+                         str(tmp_path / "cp_ckpt"),
+                         compact_every=compact_every)
+    q.awaitTermination(300)
+    result = read_stream_result(spark, table)  # completion compaction
+
+    side_files = list(Path(ann_keys_path(table)).glob("*.parquet"))
+    side = spark.read.parquet(ann_keys_path(table))
+    assert side.count() == 1  # distinct annotated keys, not 6
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert 1 <= len(side_files) <= n_shuffle < n_batches * 2
+    # streamed content still equals the batch-equivalent set
+    want = {k_ann[2:] + (ann,)} | {
+        ("graph", f"ex:b{i}", "ex:p", "x", "_IRI", None)
+        for i in range(n_batches)}
+    assert key_set(result) == want
+
+
 def test_stateful_annotation_association(spark, tmp_path):
     """R9 keyed-state variant: bare rows held, annotated twins win,
     timeout flushes the tail."""

@@ -102,6 +102,22 @@ def test_invalid_iri_escape_raises():
                      "<http://a.example/o> .")
 
 
+def test_turtle_uchar_surrogate_and_out_of_range_fail_fast():
+    """Mirror of the N-Triples twin's codepoint validation (r4
+    ADVICE): a lone surrogate or >U+10FFFF UCHAR in a Turtle IRI
+    raises TurtleError at parse time — not an opaque
+    UnicodeEncodeError later inside an executor task at the
+    Arrow/parquet boundary (and never a bare ValueError from chr)."""
+    for bad in ("\\uD800", "\\uDFFF", "\\U00110000"):
+        with pytest.raises(TurtleError, match="UCHAR codepoint"):
+            parse_turtle(f"<http://a.example/{bad}> "
+                         "<http://a.example/p> <http://a.example/o> .")
+    # boundary values that ARE valid still parse
+    triples = parse_turtle("<http://a.example/\\U0010FFFF> "
+                           "<http://a.example/p> <http://a.example/o> .")
+    assert len(triples) == 1
+
+
 def test_uchar_in_iri_reaches_statement_table(spark):
     """Spark-side: the unescaped IRI flows through import_turtle into
     CURIE-fied statements."""
