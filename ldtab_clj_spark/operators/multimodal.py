@@ -87,18 +87,39 @@ def _fake_decode(content: bytes, fmt: str) -> np.ndarray:
             / 255.0)
 
 
+def _real_decode(content: bytes, fmt: str) -> np.ndarray:
+    """Real image decode, soft-enabled: PIL is try-imported at the
+    WORKER (it ships in many cluster images but not this container).
+    Images decode to a 4x4 grayscale thumbnail = the same 16-dim
+    float32 feature shape as the stub; audio/video formats still need
+    ffmpeg and keep the documented seam error."""
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg — not "
+            "available in this container; wire the decoder in "
+            "here (operators/multimodal.py:decode_media)")
+    if fmt not in ("png", "jpeg"):
+        raise NotImplementedError(
+            f"real decode for format {fmt!r} requires ffmpeg — only "
+            "png/jpeg decode via PIL")
+    import io
+    img = Image.open(io.BytesIO(content)).convert("L").resize((4, 4))
+    return (np.asarray(img, dtype=np.float32) / 255.0).reshape(16)
+
+
 def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Decode + feature-extract (resize/spectrogram/etc. live here in a
-    real deployment). Arrow-batched; one output row per media row."""
+    real deployment). Arrow-batched; one output row per media row.
+    ``real_decode=True`` uses PIL if importable on the worker
+    (_real_decode); the deterministic stub stays the default so
+    oracles and fixtures are environment-independent."""
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _real_decode if real_decode else _fake_decode
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg — not "
-                    "available in this container; wire the decoder in "
-                    "here (operators/multimodal.py:decode_media)")
             feats = [
-                _fake_decode(bytes(c), m["format"] if m else "")
+                decoder(bytes(c), m["format"] if m else "")
                 for c, m in zip(pdf["content"], pdf["meta"])]
             yield pd.DataFrame({
                 "media_ref": pdf["media_ref"],

@@ -524,6 +524,93 @@ def tpch_q18(spark, sf):
             .limit(100))
 
 
+def tpch_q13(spark, sf):
+    """Customer order-count distribution (q13 shape): LEFT OUTER join
+    customer → filtered orders, per-customer count (nulls → 0), then
+    the distribution of counts — the double-aggregation-over-outer-join
+    idiom. One broadcast-or-shuffle join + two agg exchanges."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, F.col("c_custkey") == F.col("o_custkey"),
+                       "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+def tpch_q16(spark, sf):
+    """Supplier-count per part attribute (q16 shape): distinct-count
+    aggregation over a NOT-IN-filtered join (no partsupp table in this
+    schema, so the (part, supplier) relation is the distinct pairs
+    observed in lineitem). Excluded suppliers (negative balance) via
+    anti-join."""
+    pairs = (load(spark, sf, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    p = load(spark, sf, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0) \
+        .select("s_suppkey")
+    return (pairs.join(F.broadcast(bad),
+                       F.col("l_suppkey") == F.col("s_suppkey"),
+                       "left_anti")
+            .join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type",
+                     "p_size"))
+
+
+def tpch_q21(spark, sf):
+    """Double-correlated EXISTS / NOT EXISTS (q21 shape, adapted: no
+    commit/receipt dates in this schema): suppliers with a returned
+    ('R') lineitem in a multi-supplier order where NO other supplier's
+    line in that order was returned — written as SQL so Catalyst's
+    decorrelation turns the two correlated subqueries into a semi- and
+    an anti-join."""
+    for t in ("lineitem", "supplier", "orders"):
+        load(spark, sf, t).createOrReplaceTempView(f"q21_{t}")
+    return spark.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM q21_lineitem l1
+        JOIN q21_supplier ON l1.l_suppkey = s_suppkey
+        JOIN q21_orders ON l1.l_orderkey = o_orderkey
+        WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name""")
+
+
+def tpch_q22(spark, sf):
+    """Global-average scalar subquery + anti-join (q22 shape):
+    customers above the global positive-balance average with no
+    URGENT order (every synth customer has SOME order, so the classic
+    no-order predicate would be vacuous), grouped by nation. The
+    average of exact cents is a single double division — deterministic
+    across engines."""
+    c = load(spark, sf, "customer")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg(_cents("c_acctbal")).alias("avg_cents")))
+    o = (load(spark, sf, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey"))
+    return (c.join(F.broadcast(avg_bal))
+            .filter(_cents("c_acctbal") > F.col("avg_cents"))
+            .join(o, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("numcust"),
+                 _money_sum("c_acctbal", "totacctbal"))
+            .orderBy("c_nationkey"))
+
+
 def events_session_window(spark, sf):
     """NATIVE session windows (F.session_window, 30-minute gap) — the
     streaming-capable session aggregation; events_sessionize is the
@@ -909,6 +996,10 @@ QUERIES = {
 # c2_curify CASE form + w4 windows, so5_state_replay ⊂ so5_state_at_t,
 # a4/a5 trivial aggregates, text_winnow ~ text_fingerprint).
 EXTRA_QUERIES = {
+    "tpch_q13": tpch_q13,
+    "tpch_q16": tpch_q16,
+    "tpch_q21": tpch_q21,
+    "tpch_q22": tpch_q22,
     "ann_near_dup": ann_near_dup,
     "ann_cosine_topk": ann_cosine_topk,
     "dedup_word_jaccard": dedup_word_jaccard,
@@ -1324,6 +1415,49 @@ ORACLE_SQL = {
         "JOIN customer ON o_custkey = c_custkey "
         "ORDER BY total_price DESC, o_orderkey LIMIT 100",
     "so5_state_at_t": STATE_AT_T_ORACLE.format(t=2),
+    "tpch_q13":
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+        "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+        "FROM customer LEFT JOIN ("
+        "SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o "
+        "ON c_custkey = o_custkey GROUP BY c_custkey) "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+    "tpch_q16":
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#1' "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p_brand, p_type, p_size "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
+    "tpch_q21":
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+        "FROM lineitem l1 "
+        "JOIN supplier ON l1.l_suppkey = s_suppkey "
+        "JOIN orders ON l1.l_orderkey = o_orderkey "
+        "WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey "
+        "AND l3.l_returnflag = 'R') "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name",
+    "tpch_q22":
+        "WITH avg_bal AS (SELECT avg(CAST(round(c_acctbal * 100, 0) "
+        "AS BIGINT)) AS avg_cents FROM customer WHERE c_acctbal > 0) "
+        "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, "
+        "sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0 "
+        "AS totacctbal "
+        "FROM customer, avg_bal "
+        "WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) > avg_cents "
+        "AND NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey "
+        "AND o_orderpriority = '1-URGENT') "
+        "GROUP BY c_nationkey ORDER BY c_nationkey",
     "events_session_window":
         # Spark session_window semantics: an event at exactly
         # prev + 30min starts a NEW session (half-open [start,

@@ -37,19 +37,29 @@ _UNESCAPE = {"\\n": "\n", "\\r": "\r", "\\t": "\t",
 
 def _unescape(s: str) -> str:
     """N-Triples string unescaping incl. \\uXXXX / \\UXXXXXXXX numeric
-    escapes (canonical NT tooling escapes all non-ASCII)."""
+    escapes (canonical NT tooling escapes all non-ASCII).
+
+    A backslash that starts neither an ECHAR nor a well-formed UCHAR
+    (e.g. ``\\z``, ``\\u12``) is a syntax error in both grammars —
+    raise instead of passing the raw backslash through (ValueError →
+    parse_nt_line skips the line; the Turtle reader converts it to
+    TurtleError). The trailing lone-backslash alternative in the regex
+    is what catches them: valid escapes match the longer branches
+    first."""
     def sub(m):
         tok = m.group(0)
         if tok in _UNESCAPE:
             return _UNESCAPE[tok]
+        if tok == "\\":
+            raise ValueError(f"invalid string escape in {s[:80]!r}")
         cp = int(tok[2:], 16)
         if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
             # lone surrogates / out-of-range: not encodable as UTF-8 —
             # reject the line (ValueError → parse_nt_line skips it)
             raise ValueError(f"invalid UCHAR codepoint U+{cp:X}")
         return chr(cp)
-    return re.sub(r'\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\[nrtbf\'"\\]',
-                  sub, s)
+    return re.sub(r'\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\[nrtbf\'"\\]'
+                  r'|\\', sub, s)
 
 
 _NT_UCHAR = re.compile(r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}")

@@ -296,8 +296,10 @@ class _Parser:
                     continue
                 break
             if self.peek()[1] == ";":
-                self.next()
-                # tolerate trailing ';' before '.' or ']'
+                # the grammar's (';' (verb objectList)?)* makes any
+                # run of semicolons legal, trailing or repeated
+                while self.peek()[1] == ";":
+                    self.next()
                 if self.peek()[1] in (".", "]"):
                     return
                 continue
@@ -333,7 +335,10 @@ class _Parser:
                 lex = tok[3:-3]
             else:
                 lex = tok[1:-1]
-            lex = _unescape(lex)
+            try:
+                lex = _unescape(lex)
+            except ValueError as ex:
+                raise TurtleError(str(ex)) from None
             nk, nt = self.peek()
             if nk == "langtag":
                 self.next()

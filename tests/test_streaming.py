@@ -125,17 +125,25 @@ def test_ann_keys_side_table_stays_bounded(spark, tmp_path):
     table = str(tmp_path / "cp_table")
     stream = (spark.readStream.schema(STATEMENT)
               .option("maxFilesPerTrigger", 1).parquet(in_dir))
-    q = _start_streaming(spark, stream, lambda df: df, table,
-                         str(tmp_path / "cp_ckpt"),
-                         compact_every=compact_every)
-    q.awaitTermination(300)
-    result = read_stream_result(spark, table)  # completion compaction
+    # pin shuffle partitions for the file-count bound: an earlier test
+    # going through get_spark().getOrCreate() re-applies its own value
+    # (e.g. 32) onto the shared session, which would defeat the
+    # "fewer files than batches" comparison below
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = _start_streaming(spark, stream, lambda df: df, table,
+                             str(tmp_path / "cp_ckpt"),
+                             compact_every=compact_every)
+        q.awaitTermination(300)
+        result = read_stream_result(spark, table)  # completion compaction
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
 
     side_files = list(Path(ann_keys_path(table)).glob("*.parquet"))
     side = spark.read.parquet(ann_keys_path(table))
     assert side.count() == 1  # distinct annotated keys, not 6
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    assert 1 <= len(side_files) <= n_shuffle < n_batches * 2
+    assert 1 <= len(side_files) <= 4 < n_batches * 2
     # streamed content still equals the batch-equivalent set
     want = {k_ann[2:] + (ann,)} | {
         ("graph", f"ex:b{i}", "ex:p", "x", "_IRI", None)
