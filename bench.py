@@ -109,15 +109,21 @@ def main() -> None:
         return best
 
     def query_fn(name):
-        return q.QUERIES.get(name) or q.EXTRA_QUERIES[name]
+        return q.ALL_QUERIES[name]
 
     control_secs = []
 
     def run_control():
+        # best-of-2 like every other timing: a single shot varies ±25%
+        # on this box, which alone could breach the 1.5x drift limit
         fn = query_fn(CONTROL)
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        control_secs.append(round(time.perf_counter() - t0, 3))
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        control_secs.append(round(best, 3))
 
     # first execution is untimed: it pays the one-off parquet footer
     # read / codegen cost that would otherwise read as 5x "drift"

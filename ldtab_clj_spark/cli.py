@@ -141,7 +141,8 @@ def _do_import(spark, args, prefix_df, tmp_paths: list) -> int:
             q = run_streaming_import_nt(
                 spark, args.input, tmp_paths[0], tmp_paths[1], prefix_df)
             q.awaitTermination()
-            statements = read_stream_result(spark, tmp_paths[0])
+            statements = read_stream_result(spark, tmp_paths[0],
+                                            compact=False)
         else:
             from .sources.ntriples import import_ntriples
             statements = import_ntriples(spark, args.input, prefix_df)
@@ -168,7 +169,8 @@ def _do_import(spark, args, prefix_df, tmp_paths: list) -> int:
                 spark, args.input, tmp_paths[0], tmp_paths[1],
                 entity_dict)
             q.awaitTermination()
-            statements = read_stream_result(spark, tmp_paths[0])
+            statements = read_stream_result(spark, tmp_paths[0],
+                                            compact=False)
         else:
             from .plans.pipeline import build_statements
             statements = build_statements(

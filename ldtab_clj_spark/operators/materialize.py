@@ -114,13 +114,19 @@ def write_statements(statements: DataFrame, path: str,
     # absent from the sidecar are orphans of a crash between a prior
     # parquet append and its sidecar append. Adopt them under a
     # sentinel run_id so verify_lineage converges on re-run instead of
-    # staying false forever. Safe under concurrency: if the racing run
-    # later appends its own entry for the same file, first-entry-wins
-    # dedup in _read_sidecar keeps one row (counts are identical —
-    # both come from the parquet footer).
+    # staying false forever. AGE-GATED: a LIVE concurrent run's files
+    # also look sidecar-less inside its write window (its parquet
+    # commit precedes its sidecar append by seconds) — adopting those
+    # would hijack its attribution via first-entry-wins dedup. A
+    # crashed run's orphans, by contrast, sit un-entered indefinitely,
+    # so only files older than ADOPT_GRACE_SECS are adopted; younger
+    # ones are reconciled by whichever append runs after the grace
+    # period.
     adopted = [{"file": name, "rows": per_file[name],
                 "run_id": "adopted", "ts": ts}
-               for name in sorted(pre - in_sidecar) if name in per_file]
+               for name in sorted(pre - in_sidecar)
+               if name in per_file
+               and _file_age_secs(path, name) > ADOPT_GRACE_SECS]
     new = adopted + new
     if mode == "append":
         # append ONLY this run's rows (atomic single O_APPEND write /
@@ -135,6 +141,20 @@ def write_statements(statements: DataFrame, path: str,
             "rows": int(sum(r["rows"] for r in prior + new)),
             "batch_rows": int(metrics["rows"] or 0),
             "annotated": int(metrics["annotated"] or 0)}
+
+
+ADOPT_GRACE_SECS = 300  # orphan files younger than this may belong to
+#                         a live concurrent run — leave them un-adopted
+
+
+def _file_age_secs(path: str, name: str) -> float:
+    """Seconds since the part file was last modified (local paths;
+    remote paths never reach adoption — _list_files returns empty)."""
+    local = path[len("file:"):] if path.startswith("file:") else path
+    try:
+        return time.time() - (Path(local) / name).stat().st_mtime
+    except OSError:
+        return 0.0  # vanished mid-look: certainly not a stale orphan
 
 
 def _list_files(path: str) -> set[str]:

@@ -1013,6 +1013,11 @@ EXTRA_QUERIES = {
     "text_winnow": text_winnow,
 }
 
+# single source of truth for tools that need both registries
+# (bench.py, tools/check_oracles.py, tools/explain_audit.py) — keep
+# the two-registry resolution in ONE place
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+
 _CENTS_PRICE = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
 _CENTS_REVENUE = (f"{_CENTS_PRICE} * "
                   "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))")

@@ -72,6 +72,14 @@ def get_spark(app_name: str = "ldtab_clj_spark",
         # a non-UTC JVM zone would shift wall-clock values across DST
         # transitions and diverge from the naive-time DuckDB oracles
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd shuffle/spill compression: ~2-3x smaller shuffle bytes
+        # than lz4. Measured on the 1M-doc pipeline: 4-core leg 77.5s
+        # (lz4) -> 63.7-64.8s (zstd, reproduced) while the 1-core leg
+        # is unchanged (202.8s vs 197-216 lz4 range) — shuffle I/O
+        # contention only bites when several tasks write at once,
+        # which is also why zstd is the standard choice for
+        # network-shuffle-heavy cluster jobs
+        .config("spark.io.compression.codec", "zstd")
         # sane scan granularity for the 100 TB case: 128 MB splits
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

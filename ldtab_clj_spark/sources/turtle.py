@@ -312,7 +312,12 @@ class _Parser:
         if tok == "[":
             return self.bnode_property_list(), "_JSONMAP"
         if tok == "(":
-            return self.collection(), "_JSONMAP"
+            head = self.collection()
+            # an EMPTY collection is the rdf:nil IRI, not a blank
+            # label: tagging it _JSONMAP would export it bracketless
+            # (invalid NT) and a re-import would silently drop it
+            return head, ("_IRI" if head == _RDF + "nil"
+                          else "_JSONMAP")
         self.next()
         if kind == "iriref":
             return self.resolve(tok[1:-1]), "_IRI"
@@ -378,8 +383,7 @@ class _Parser:
         self.next()
         self.depth -= 1
         if not items:
-            return _RDF + "nil"          # caller emits it as _JSONMAP;
-            #                              components treats it as label
+            return _RDF + "nil"          # caller tags it _IRI
         head = cur = self.fresh_blank()
         for j, (obj, dt) in enumerate(items):
             self.triples.append((cur, _RDF + "first", obj, dt))

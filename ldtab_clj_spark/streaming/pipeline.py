@@ -206,18 +206,24 @@ def run_streaming_import_nt(spark: SparkSession, in_path: str,
                             compact_every)
 
 
-def read_stream_result(spark: SparkSession, table_path: str) -> DataFrame:
+def read_stream_result(spark: SparkSession, table_path: str,
+                       compact: bool = True) -> DataFrame:
     """Final statement set: dedup-on-read resolves cross-batch
     duplicates and bare-before-annotated arrivals (the reference's
     tail flush, import.clj:80-101). An input with zero files never
-    creates the tmp table — that's an empty import, not an error."""
+    creates the tmp table — that's an empty import, not an error.
+
+    ``compact=True`` runs the end-of-stream side-table compaction (the
+    availableNow completion hook) — skipped automatically while ANY
+    streaming query is still active, because the rmtree→rename swap
+    must never race a micro-batch's append or prior-keys read; pass
+    ``compact=False`` when the table is a throwaway about to be
+    deleted (the CLI's per-run tmp table)."""
     from pathlib import Path
 
     from ..schemas import STATEMENT
     if not Path(table_path).exists():
         return spark.createDataFrame([], STATEMENT)
-    # end-of-stream compaction (the availableNow completion hook):
-    # callers fetch the result exactly when the stream has drained, so
-    # the side table left for the NEXT incremental run is deduped
-    compact_ann_keys(spark, table_path)
+    if compact and not spark.streams.active:
+        compact_ann_keys(spark, table_path)
     return dedup_statements(spark.read.parquet(table_path))

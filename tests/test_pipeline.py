@@ -150,16 +150,31 @@ def test_append_adopts_orphan_files_after_crash(spark, tmp_path,
 
     from ldtab_clj_spark.operators.materialize import (verify_lineage,
                                                        write_statements)
+    import os
+    import time as _time
+
+    from ldtab_clj_spark.operators.materialize import ADOPT_GRACE_SECS
     out = str(tmp_path / "statement")
     n = statements.count()
     write_statements(statements, out, partitions=4, run_id="r1")
     # simulate the crashed append: data files land, sidecar doesn't
+    before = set(Path(out).glob("*.parquet"))
     statements.limit(7).write.mode("append").parquet(out)
+    orphans = set(Path(out).glob("*.parquet")) - before
     assert not verify_lineage(spark, out)  # mismatch detected...
+    # FRESH orphans are NOT adopted (they may belong to a live
+    # concurrent run mid-write — the age gate protects attribution)
+    write_statements(statements.limit(1), out, partitions=1,
+                     run_id="r2", mode="append")
+    assert not verify_lineage(spark, out)
+    # ...age them past the grace period: the next append adopts them
+    old = _time.time() - ADOPT_GRACE_SECS - 60
+    for f in orphans:
+        os.utime(f, (old, old))
     info = write_statements(statements, out, partitions=4, run_id="r3",
                             mode="append")
     assert verify_lineage(spark, out)      # ...and the re-run converges
-    assert info["rows"] == 2 * n + 7
+    assert info["rows"] == 2 * n + 7 + 1
     rows = [json.loads(line) for line in
             (Path(out + "_lineage") / "lineage.json").read_text()
             .splitlines()]
@@ -167,7 +182,7 @@ def test_append_adopts_orphan_files_after_crash(spark, tmp_path,
     for r in rows:
         by_run[r["run_id"]] = by_run.get(r["run_id"], 0) + r["rows"]
     assert by_run.get("adopted") == 7 and by_run["r1"] == n \
-        and by_run["r3"] == n
+        and by_run["r2"] == 1 and by_run["r3"] == n
 
 
 def test_sidecar_append_survives_interleaved_runs(spark, tmp_path):

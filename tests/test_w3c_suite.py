@@ -185,8 +185,11 @@ TURTLE_POSITIVE = [
       ("_:anon2", f"{RDF}first", "2", f"{XSD}integer"),
       ("_:anon2", f"{RDF}rest", f"{RDF}nil", "_IRI")}),
     ("empty_collection_object",
+     # rdf:nil is an IRI, not a blank label — tagging it _JSONMAP
+     # exported it bracketless (invalid NT) and re-import dropped it
+     # (r4 code-review finding, fixed in object_term)
      P + "p:s p:p () .",
-     {(f"{A}s", f"{A}p", f"{RDF}nil", "_JSONMAP")}),
+     {(f"{A}s", f"{A}p", f"{RDF}nil", "_IRI")}),
     ("comment_following_triple",
      P + "# lead\np:s p:p p:o . # tail",
      {(f"{A}s", f"{A}p", f"{A}o", "_IRI")}),
@@ -308,3 +311,17 @@ def test_w3c_matrix_summary(capsys):
     assert len(SKIPS) == 3
     for reason in SKIPS.values():
         assert len(reason) > 40  # every skip carries a real rationale
+
+
+def test_empty_collection_roundtrips_through_nt_export():
+    """Regression for the r4 code-review finding: `p:s p:p () .` must
+    export rdf:nil as a bracketed IRI that parse_nt_line re-imports,
+    not a bare bracketless token that gets silently dropped."""
+    from ldtab_clj_spark.operators.export import nt_object
+    (triple,) = parse_turtle(P + "p:s p:p () .")
+    s, p, o, dt = triple
+    assert dt == "_IRI" and o == f"{RDF}nil"
+    rendered = nt_object(o, dt, False, {})
+    assert rendered == f"<{RDF}nil>"
+    line = f"<{s}> <{p}> {rendered} ."
+    assert parse_nt_line(line, []) is not None

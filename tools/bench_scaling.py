@@ -46,23 +46,29 @@ PARTS = 64
 TRIALS = 3  # best-of per core count (de-noise shared-box variance)
 
 
-def run(cores: int, n_docs: int) -> dict:
+def run_once(cores: int, n_docs: int) -> dict:
     code = RUNNER.format(repo=REPO, cores=cores, n_docs=n_docs,
                          parts=PARTS)
-    best = None
-    for _ in range(TRIALS):
-        out = subprocess.run([sys.executable, "-c", code], check=True,
-                             capture_output=True, text=True)
-        r = json.loads(out.stdout.strip().splitlines()[-1])
-        if best is None or r["sec"] < best["sec"]:
-            best = r
-    return best
+    out = subprocess.run([sys.executable, "-c", code], check=True,
+                         capture_output=True, text=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     lo, hi = 1, 4
-    r_lo, r_hi = run(lo, n_docs), run(hi, n_docs)
+    # INTERLEAVED trials (1c, 4c, 1c, 4c, ...): the two legs used to
+    # run as separate ~10-minute phases, so any box-load drift between
+    # phases landed entirely in the efficiency ratio — pairing the
+    # trials exposes both legs to the same box state
+    r_lo = r_hi = None
+    for _ in range(TRIALS):
+        r = run_once(lo, n_docs)
+        if r_lo is None or r["sec"] < r_lo["sec"]:
+            r_lo = r
+        r = run_once(hi, n_docs)
+        if r_hi is None or r["sec"] < r_hi["sec"]:
+            r_hi = r
     eff = (r_hi["rows_per_sec"] / r_lo["rows_per_sec"]) / (hi / lo)
     result = {"n_docs": n_docs, "low": r_lo, "high": r_hi,
               "scaling_efficiency": round(eff, 3),

@@ -42,9 +42,11 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{sf_dir}/{t}.parquet'")
-    from ldtab_clj_spark.queries import EXTRA_QUERIES, ORACLE_SQL
+    from ldtab_clj_spark.queries import ALL_QUERIES, ORACLE_SQL
+    # driver entries run through the entry-module wrapper (package
+    # shipping); displaced twins stay oracle-checked here too
     qs = dict(entrymod.queries())
-    qs.update(EXTRA_QUERIES)  # displaced twins stay oracle-checked here
+    qs.update({k: v for k, v in ALL_QUERIES.items() if k not in qs})
     oracles = dict(ORACLE_SQL)
     failures = 0
     for name, fn in qs.items():
