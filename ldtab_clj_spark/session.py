@@ -83,6 +83,13 @@ def get_spark(app_name: str = "ldtab_clj_spark",
         # sane scan granularity for the 100 TB case: 128 MB splits
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # heap is WORKLOAD-dependent, measured both ways: 8g wins the
+        # local[32] query suite (16g doubled bench.py 32s -> 63s —
+        # same shape as r3's rejected 24g trial: long G1 pauses across
+        # many small queries), while 16g wins the local[4] 1-2M-doc
+        # volume runs (bench_scaling.py passes it explicitly: 4-core
+        # leg 64-70s -> 61s at 1M). Default stays 8g; size up via
+        # SPARK_DRIVER_MEMORY for large-shuffle jobs
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

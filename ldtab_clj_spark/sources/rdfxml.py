@@ -12,7 +12,9 @@ emit (and all constructs in the reference's ontology.owl):
   ``rdf:datatype`` / inherited ``xml:lang`` / nested node elements;
 * ``rdf:parseType="Collection"`` (RDF lists) and ``"Resource"``
   (anonymous property nodes), plus ``"Literal"`` (XML-literal text);
-* property attributes on node elements (literal shorthand).
+* property attributes on node elements (literal shorthand);
+* container-membership shorthand: ``rdf:li`` renumbering to
+  ``rdf:_1..rdf:_n`` (RDF/XML 1.1 §7.4, matching Jena).
 
 Files are the unit of parallelism (``wholetext=True`` + mapInPandas),
 same as sources/turtle.py. Output: thin triples CURIE-fied against the
@@ -118,15 +120,31 @@ class _Parser:
             if k.startswith("{"):
                 self.emit(subject, _tag_iri(k), v,
                           f"@{lang}" if lang else _XSD + "string")
-        for child in el:
-            self.property_element(subject, child, lang, base)
+        self.property_children(subject, el, lang, base)
         return subject
 
+    def property_children(self, subject: str, el: ET.Element,
+                          lang: str, base: str):
+        """Emit all child property elements of a node, renumbering
+        container-membership shorthand: each rdf:li becomes rdf:_1,
+        rdf:_2, ... in document order (RDF/XML §7.4; Jena, the
+        reference's reader, does the same). Shared by node elements
+        and parseType="Resource" bnodes — the counter restarts per
+        containing node, as the spec requires."""
+        li_count = 0
+        for child in el:
+            if child.tag == f"{{{_RDF}}}li":
+                li_count += 1
+                self.property_element(subject, child, lang, base,
+                                      pred_override=f"{_RDF}_{li_count}")
+            else:
+                self.property_element(subject, child, lang, base)
+
     def property_element(self, subject: str, el: ET.Element, lang: str,
-                         base: str):
+                         base: str, pred_override: str | None = None):
         lang = el.get(f"{{{_XML_NS}}}lang", lang)
         base = self.scoped_base(el, base)
-        pred = _tag_iri(el.tag)
+        pred = pred_override or _tag_iri(el.tag)
         res = el.get(f"{{{_RDF}}}resource")
         if res is not None:
             self.emit(subject, pred, self.resolve(res, base), "_IRI")
@@ -155,8 +173,7 @@ class _Parser:
             return
         if ptype == "Resource":
             bnode = self.fresh_blank()
-            for c in el:
-                self.property_element(bnode, c, lang, base)
+            self.property_children(bnode, el, lang, base)
             self.emit(subject, pred, bnode, "_JSONMAP")
             return
         if ptype == "Literal":

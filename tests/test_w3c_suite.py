@@ -1,6 +1,6 @@
-"""W3C rdf-tests–shaped conformance matrix for the Turtle and
-N-Triples readers (reference parity surface: the Clojure reference
-gets full conformance via Jena, import.clj:148-154).
+"""W3C rdf-tests–shaped conformance matrix for the Turtle,
+N-Triples, and RDF/XML readers (reference parity surface: the Clojure
+reference gets full conformance via Jena, import.clj:148-154).
 
 This sandbox has no network, so the official manifest files
 (https://www.w3.org/2013/TurtleTests/, .../N-Triples-Tests/) cannot be
@@ -277,6 +277,110 @@ NT_NEGATIVE = [
 ]
 
 
+def _rx(body, attrs=""):
+    return ('<?xml version="1.0"?>\n'
+            f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="http://e/"{attrs}>\n'
+            f'{body}\n</rdf:RDF>')
+
+
+E = "http://e/"
+
+# RDF/XML section, same convention (names follow the W3C rdf/xml-ns
+# test families; transcribed offline from the RDF/XML 1.1 spec)
+RDFXML_POSITIVE = [
+    ("rdfms-basic-resource",
+     _rx(f'<rdf:Description rdf:about="{E}s">'
+         f'<ex:p rdf:resource="{E}o"/></rdf:Description>'),
+     {(f"{E}s", f"{E}p", f"{E}o", "_IRI")}),
+    ("rdfms-typed-node-element",
+     _rx(f'<ex:Klass rdf:about="{E}s"/>'),
+     {(f"{E}s", f"{RDF}type", f"{E}Klass", "_IRI")}),
+    ("rdfms-xmllang-literal",
+     _rx(f'<rdf:Description rdf:about="{E}s">'
+         '<ex:p xml:lang="en">hi</ex:p></rdf:Description>'),
+     {(f"{E}s", f"{E}p", "hi", "@en")}),
+    ("rdfms-datatyped-literal",
+     _rx(f'<rdf:Description rdf:about="{E}s">'
+         f'<ex:p rdf:datatype="{E}dt">1</ex:p></rdf:Description>'),
+     {(f"{E}s", f"{E}p", "1", f"{E}dt")}),
+    ("rdfms-nodeID-both-positions",
+     _rx('<rdf:Description rdf:nodeID="b1">'
+         '<ex:p rdf:nodeID="b2"/></rdf:Description>'),
+     {("_:b1", f"{E}p", "_:b2", "_JSONMAP")}),
+    ("rdfms-rdf-ID-fragment-of-base",
+     _rx('<rdf:Description rdf:ID="frag"><ex:p>v</ex:p>'
+         '</rdf:Description>', attrs=f' xml:base="{E}doc"'),
+     {(f"{E}doc#frag", f"{E}p", "v", f"{XSD}string")}),
+    ("rdfms-parseType-Resource",
+     _rx(f'<rdf:Description rdf:about="{E}s">'
+         '<ex:p rdf:parseType="Resource">'
+         f'<ex:q rdf:resource="{E}o"/></ex:p></rdf:Description>'),
+     {(f"{E}s", f"{E}p", "_:xanon1", "_JSONMAP"),
+      ("_:xanon1", f"{E}q", f"{E}o", "_IRI")}),
+    ("rdfms-parseType-Literal-XML",
+     _rx(f'<rdf:Description rdf:about="{E}s">'
+         '<ex:p rdf:parseType="Literal"><b>x</b></ex:p>'
+         '</rdf:Description>'),
+     {(f"{E}s", f"{E}p", "<b>x</b>", f"{RDF}XMLLiteral")}),
+    ("rdfms-parseType-Collection",
+     _rx(f'<rdf:Description rdf:about="{E}s">'
+         '<ex:p rdf:parseType="Collection">'
+         f'<rdf:Description rdf:about="{E}a"/></ex:p>'
+         '</rdf:Description>'),
+     {(f"{E}s", f"{E}p", "_:xanon1", "_JSONMAP"),
+      ("_:xanon1", f"{RDF}first", f"{E}a", "_IRI"),
+      ("_:xanon1", f"{RDF}rest", f"{RDF}nil", "_IRI")}),
+    ("rdfms-property-attributes",
+     _rx(f'<rdf:Description rdf:about="{E}s" ex:p="v"/>'),
+     {(f"{E}s", f"{E}p", "v", f"{XSD}string")}),
+    ("rdf-containers-syntax-li-renumbering",
+     # each rdf:li renumbers to rdf:_n in document order (§7.4; the
+     # reference's Jena reader does the same) — r4 matrix catch
+     _rx(f'<rdf:Seq rdf:about="{E}s"><rdf:li>a</rdf:li>'
+         '<rdf:li>b</rdf:li></rdf:Seq>'),
+     {(f"{E}s", f"{RDF}type", f"{RDF}Seq", "_IRI"),
+      (f"{E}s", f"{RDF}_1", "a", f"{XSD}string"),
+      (f"{E}s", f"{RDF}_2", "b", f"{XSD}string")}),
+    ("rdfms-nested-node-element",
+     _rx(f'<rdf:Description rdf:about="{E}s"><ex:p>'
+         f'<rdf:Description rdf:about="{E}o"><ex:q>v</ex:q>'
+         '</rdf:Description></ex:p></rdf:Description>'),
+     {(f"{E}s", f"{E}p", f"{E}o", "_IRI"),
+      (f"{E}o", f"{E}q", "v", f"{XSD}string")}),
+    ("xml-base-scoped-on-node-element",
+     _rx('<rdf:Description rdf:about="s" xml:base="http://b/">'
+         '<ex:p rdf:resource="o"/></rdf:Description>'),
+     {("http://b/s", f"{E}p", "http://b/o", "_IRI")}),
+]
+
+RDFXML_NEGATIVE = [
+    ("rdfms-rdf-names-use-unqualified-tag",
+     '<?xml version="1.0"?><RDF><x/></RDF>'),
+    ("rdfms-relative-about-no-base",
+     _rx('<rdf:Description rdf:about="rel"><ex:p>v</ex:p>'
+         '</rdf:Description>')),
+    ("rdf-charmod-malformed-xml",
+     _rx(f'<rdf:Description rdf:about="{E}s">')),
+]
+
+
+@pytest.mark.parametrize("name,xml,want", RDFXML_POSITIVE,
+                         ids=[c[0] for c in RDFXML_POSITIVE])
+def test_w3c_rdfxml_positive(name, xml, want):
+    from ldtab_clj_spark.sources.rdfxml import parse_rdfxml
+    assert set(parse_rdfxml(xml)) == want
+
+
+@pytest.mark.parametrize("name,xml", RDFXML_NEGATIVE,
+                         ids=[c[0] for c in RDFXML_NEGATIVE])
+def test_w3c_rdfxml_negative(name, xml):
+    import xml.etree.ElementTree as ET
+
+    from ldtab_clj_spark.sources.rdfxml import RdfXmlError, parse_rdfxml
+    with pytest.raises((RdfXmlError, ET.ParseError)):
+        parse_rdfxml(xml)
+
+
 @pytest.mark.parametrize("name,ttl,want", TURTLE_POSITIVE,
                          ids=[c[0] for c in TURTLE_POSITIVE])
 def test_w3c_turtle_positive(name, ttl, want):
@@ -306,8 +410,9 @@ def test_w3c_matrix_summary(capsys):
     """Record the matrix size + skip list (the README quotes these
     numbers; this test keeps them honest)."""
     n_cases = (len(TURTLE_POSITIVE) + len(TURTLE_NEGATIVE)
-               + len(NT_POSITIVE) + len(NT_NEGATIVE))
-    assert n_cases >= 70
+               + len(NT_POSITIVE) + len(NT_NEGATIVE)
+               + len(RDFXML_POSITIVE) + len(RDFXML_NEGATIVE))
+    assert n_cases >= 85
     assert len(SKIPS) == 3
     for reason in SKIPS.values():
         assert len(reason) > 40  # every skip carries a real rationale

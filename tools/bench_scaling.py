@@ -25,9 +25,14 @@ import json, sys, time
 sys.path.insert(0, "{repo}")
 from ldtab_clj_spark.session import get_spark
 from ldtab_clj_spark.plans.pipeline import run_pipeline
+# 16g heap: measured faster for the 1-2M-doc volume runs at 1-4
+# cores (GC pressure grows with shuffle volume); the session default
+# stays 8g because big heaps HURT the many-small-queries local[32]
+# bench — see session.py
 spark = get_spark("scaling", master="local[{cores}]",
                   shuffle_partitions={parts},
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                               "spark.driver.memory": "16g"}})
 # warm the JVM/Python workers so we time compute, not startup
 run_pipeline(spark, n_docs=200, seed=1).count()
 t0 = time.perf_counter()
