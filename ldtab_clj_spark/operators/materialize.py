@@ -122,12 +122,18 @@ def write_statements(statements: DataFrame, path: str,
     # so only files older than ADOPT_GRACE_SECS are adopted; younger
     # ones are reconciled by whichever append runs after the grace
     # period.
+    orphans = [name for name in sorted(pre - in_sidecar)
+               if name in per_file]
     adopted = [{"file": name, "rows": per_file[name],
                 "run_id": "adopted", "ts": ts}
-               for name in sorted(pre - in_sidecar)
-               if name in per_file
-               and _file_age_secs(path, name) > ADOPT_GRACE_SECS]
+               for name in orphans
+               if _file_age_secs(path, name) > ADOPT_GRACE_SECS]
     new = adopted + new
+    # orphans still inside the grace window are counted but not
+    # entered: the returned totals under-report the physical table
+    # until a post-grace append adopts them, so surface the gap
+    # instead of leaving it silent
+    unadopted = len(orphans) - len(adopted)
     if mode == "append":
         # append ONLY this run's rows (atomic single O_APPEND write /
         # new part files): concurrent imports never rewrite each
@@ -140,7 +146,8 @@ def write_statements(statements: DataFrame, path: str,
     return {"run_id": run_id, "partitions": len(new),
             "rows": int(sum(r["rows"] for r in prior + new)),
             "batch_rows": int(metrics["rows"] or 0),
-            "annotated": int(metrics["annotated"] or 0)}
+            "annotated": int(metrics["annotated"] or 0),
+            "unadopted_files": unadopted}
 
 
 ADOPT_GRACE_SECS = 300  # orphan files younger than this may belong to
@@ -148,11 +155,17 @@ ADOPT_GRACE_SECS = 300  # orphan files younger than this may belong to
 
 
 def _file_age_secs(path: str, name: str) -> float:
-    """Seconds since the part file was last modified (local paths;
-    remote paths never reach adoption — _list_files returns empty)."""
+    """Seconds since the part file last changed — using the LATER of
+    mtime and ctime. mtime alone can predate the job commit by
+    arbitrarily long (the parquet committer RENAMES task files out of
+    _temporary, which preserves mtime), so a slow concurrent append's
+    freshly-committed files could look stale; rename updates st_ctime,
+    which therefore tracks the commit. Local paths only; remote paths
+    never reach adoption — _list_files returns empty."""
     local = path[len("file:"):] if path.startswith("file:") else path
     try:
-        return time.time() - (Path(local) / name).stat().st_mtime
+        st = (Path(local) / name).stat()
+        return time.time() - max(st.st_mtime, st.st_ctime)
     except OSError:
         return 0.0  # vanished mid-look: certainly not a stale orphan
 

@@ -424,10 +424,12 @@ def _to_thin(raw: list[tuple],
             else curify_with(s, prefixes)
         predicate = curify_with(p, prefixes)
         if dt == "_JSONMAP":
-            obj, d = (blank(o) if o.startswith("_:")
-                      else curify_with(o, prefixes)), "_JSONMAP"
-            if not o.startswith("_:"):   # () → rdf:nil IRI object
-                d = "_IRI"
+            # both parsers tag only blank labels _JSONMAP since the r4
+            # empty-collection fix (rdf:nil arrives as _IRI); a
+            # non-blank here is a parser bug, not a case to paper over
+            assert o.startswith("_:"), \
+                f"non-blank object {o!r} tagged _JSONMAP"
+            obj, d = blank(o), "_JSONMAP"
         elif dt == "_IRI":
             obj, d = curify_with(o, prefixes), "_IRI"
         elif dt.startswith("@"):

@@ -56,6 +56,12 @@ def ann_keys_path(table_path: str) -> str:
 COMPACT_EVERY = 16
 
 
+def _import_query_name(table_path: str) -> str:
+    """Streaming-query name encoding the target table, so end-of-stream
+    compaction can be scoped to streams that actually write it."""
+    return f"ldtab-import:{table_path}"
+
+
 def compact_ann_keys(spark: SparkSession, table_path: str) -> None:
     """Rewrite the ann-keys side table deduped on KEYS.
 
@@ -140,6 +146,12 @@ def _start_streaming(spark: SparkSession, stream: DataFrame,
 
     writer = (stream.writeStream
               .foreachBatch(handle_batch)
+              # the query carries its target table in its name so
+              # read_stream_result can tell whether a still-active
+              # stream is writing THIS table (session-global
+              # streams.active would let an unrelated long-lived
+              # stream suppress compaction forever)
+              .queryName(_import_query_name(table_path))
               .option("checkpointLocation", checkpoint))
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -214,16 +226,18 @@ def read_stream_result(spark: SparkSession, table_path: str,
     creates the tmp table — that's an empty import, not an error.
 
     ``compact=True`` runs the end-of-stream side-table compaction (the
-    availableNow completion hook) — skipped automatically while ANY
-    streaming query is still active, because the rmtree→rename swap
-    must never race a micro-batch's append or prior-keys read; pass
-    ``compact=False`` when the table is a throwaway about to be
-    deleted (the CLI's per-run tmp table)."""
+    availableNow completion hook) — skipped automatically while a
+    streaming query writing THIS table (matched by query name) is
+    still active, because the rmtree→rename swap must never race a
+    micro-batch's append or prior-keys read; unrelated streams don't
+    suppress it. Pass ``compact=False`` when the table is a throwaway
+    about to be deleted (the CLI's per-run tmp table)."""
     from pathlib import Path
 
     from ..schemas import STATEMENT
     if not Path(table_path).exists():
         return spark.createDataFrame([], STATEMENT)
-    if compact and not spark.streams.active:
+    mine = _import_query_name(table_path)
+    if compact and not any(q.name == mine for q in spark.streams.active):
         compact_ann_keys(spark, table_path)
     return dedup_statements(spark.read.parquet(table_path))

@@ -150,29 +150,30 @@ def test_append_adopts_orphan_files_after_crash(spark, tmp_path,
 
     from ldtab_clj_spark.operators.materialize import (verify_lineage,
                                                        write_statements)
-    import os
-    import time as _time
-
-    from ldtab_clj_spark.operators.materialize import ADOPT_GRACE_SECS
+    from ldtab_clj_spark.operators import materialize as mat
     out = str(tmp_path / "statement")
     n = statements.count()
     write_statements(statements, out, partitions=4, run_id="r1")
     # simulate the crashed append: data files land, sidecar doesn't
-    before = set(Path(out).glob("*.parquet"))
     statements.limit(7).write.mode("append").parquet(out)
-    orphans = set(Path(out).glob("*.parquet")) - before
     assert not verify_lineage(spark, out)  # mismatch detected...
     # FRESH orphans are NOT adopted (they may belong to a live
-    # concurrent run mid-write — the age gate protects attribution)
-    write_statements(statements.limit(1), out, partitions=1,
-                     run_id="r2", mode="append")
+    # concurrent run mid-write — the age gate protects attribution).
+    # The age uses max(mtime, ctime) — ctime tracks the committer's
+    # rename and cannot be back-dated from userspace, so the aged case
+    # below lowers the threshold instead of forging timestamps.
+    i2 = write_statements(statements.limit(1), out, partitions=1,
+                          run_id="r2", mode="append")
     assert not verify_lineage(spark, out)
-    # ...age them past the grace period: the next append adopts them
-    old = _time.time() - ADOPT_GRACE_SECS - 60
-    for f in orphans:
-        os.utime(f, (old, old))
-    info = write_statements(statements, out, partitions=4, run_id="r3",
-                            mode="append")
+    assert i2["unadopted_files"] > 0  # the gap is visible, not silent
+    # ...past the grace period the next append adopts them
+    orig = mat.ADOPT_GRACE_SECS
+    mat.ADOPT_GRACE_SECS = -1.0
+    try:
+        info = write_statements(statements, out, partitions=4,
+                                run_id="r3", mode="append")
+    finally:
+        mat.ADOPT_GRACE_SECS = orig
     assert verify_lineage(spark, out)      # ...and the re-run converges
     assert info["rows"] == 2 * n + 7 + 1
     rows = [json.loads(line) for line in
