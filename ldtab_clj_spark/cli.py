@@ -190,6 +190,14 @@ def _do_import(spark, args, prefix_df, tmp_paths: list) -> int:
     print(f"imported {info['batch_rows']} statements "
           f"({info['partitions']} partitions, "
           f"table total {info['rows']})")
+    if info.get("unadopted_files"):
+        # orphans of a crashed append still inside the adoption grace
+        # window: the printed total under-reports the physical table
+        # until a later append adopts them
+        print(f"warning: {info['unadopted_files']} orphan file(s) "
+              "awaiting lineage adoption; table total above excludes "
+              "them (re-run an append after the grace period or call "
+              "rebuild_sidecar)", file=sys.stderr)
     return 0
 
 
