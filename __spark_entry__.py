@@ -43,9 +43,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark, sf_dir)
         return run
 
-    assert len(q.QUERIES) <= q.DRIVER_CAP, (
-        f"driver registry {len(q.QUERIES)} > cap {q.DRIVER_CAP}; "
-        "move twins to EXTRA_QUERIES")
+    if len(q.QUERIES) > q.DRIVER_CAP:
+        # a RuntimeError, not assert: python -O would strip an assert
+        # and silently revert to the round-3 over-cap rotation this
+        # guard exists to prevent
+        raise RuntimeError(
+            f"driver registry {len(q.QUERIES)} > cap {q.DRIVER_CAP}; "
+            "move twins to EXTRA_QUERIES")
     return {name: wrap(fn) for name, fn in q.QUERIES.items()}
 
 

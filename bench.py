@@ -28,12 +28,16 @@ _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR \
     else 0.1
 N_DOCS = max(int(200_000 * _SF), 500)
 
+# ann_ivf_topk / dedup_simhash_pairs now run their arrow scale modes
+# by default (registry change, r4 verdict #3); their *_sql twins keep
+# the interpreted-fold gap measured round-over-round.
 HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5",
-            "tpch_q2", "tpch_q9", "tpch_q18",
+            "tpch_q2", "tpch_q9", "tpch_q18", "tpch_q21",
             "a1_group_collect", "w4_rank_window", "so4_symmetric_diff",
             "dedup_exact", "dedup_minhash_lsh",
             "text_quality", "text_fingerprint", "text_term_stats",
             "events_session_window", "ann_cosine_topk", "ann_ivf_topk",
+            "ann_ivf_topk_sql", "dedup_simhash_pairs",
             "kg_mention_extract_join", "kg_roundtrip_reimport",
             "diff_transactions"]
 
@@ -44,29 +48,6 @@ HEADLINE = ["tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5",
 # to discard the run.
 CONTROL = "tpch_q1"
 CONTROL_DRIFT_LIMIT = 1.5
-
-
-def _simhash_pairs_arrow(spark, sf_dir):
-    """SimHash banded pairs via the numpy throughput mode (bit-identical
-    to the oracle's mode="sql"; equality pinned by test — the bench
-    measures the path you'd run at scale, as with ann_srp_near_dup)."""
-    from ldtab_clj_spark.operators.dedup import simhash_pairs
-    from ldtab_clj_spark.queries import load
-    return simhash_pairs(load(spark, sf_dir, "documents"), mode="arrow")
-
-
-def _ann_ivf_arrow(spark, sf_dir):
-    """IVF top-k with the numpy assignment + probe-scoring twin —
-    bit-identical to the sql oracle path (pinned by
-    test_ivf_assign_arrow_bit_parity); the bench carries BOTH so the
-    sql-vs-arrow gap stays measured (r3 finding: interpreted folds
-    were the last hot-path killer; assignment stage alone is ~3x)."""
-    from ldtab_clj_spark.operators.similarity import ivf_cosine_topk
-    from ldtab_clj_spark.queries import load
-    emb = load(spark, sf_dir, "embeddings")
-    return ivf_cosine_topk(emb, emb.filter("vec_id < 10"),
-                           n_centroids=16, n_probe=2, k=5,
-                           assign_mode="arrow")
 
 
 def _ann_srp_scaled(spark, sf_dir):
@@ -83,14 +64,12 @@ def _ann_srp_scaled(spark, sf_dir):
                                threshold=0.4, mode="arrow")
 
 
-def main() -> None:
+def run_suite(spark) -> dict:
+    """One full measured pass; returns the result JSON dict (with the
+    contamination verdict) without printing it."""
     from ldtab_clj_spark import queries as q
     from ldtab_clj_spark.plans.pipeline import run_pipeline
-    from ldtab_clj_spark.session import get_spark
 
-    spark = get_spark("ldtab-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(CPUS, 16),
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     timings: dict[str, float] = {}
 
     # warm the JVM + Python workers (cold-start excluded, as in
@@ -147,18 +126,14 @@ def main() -> None:
         if i == len(HEADLINE) // 2:
             run_control()
 
-    timings["ann_ivf_topk_arrow"] = round(
-        best_of(lambda: _ann_ivf_arrow(spark, SF_DIR).count()), 3)
     timings["ann_srp_near_dup"] = round(
         best_of(lambda: _ann_srp_scaled(spark, SF_DIR).count()), 3)
-    timings["dedup_simhash_pairs"] = round(
-        best_of(lambda: _simhash_pairs_arrow(spark, SF_DIR).count()), 3)
 
     run_control()
     drift = max(control_secs) / min(control_secs)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    return {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
@@ -171,7 +146,41 @@ def main() -> None:
         "control_secs": control_secs,
         "control_drift": round(drift, 3),
         "contaminated": drift > CONTROL_DRIFT_LIMIT,
-    }))
+    }
+
+
+MAX_ATTEMPTS = 3
+RETRY_SLEEP_SECS = 45
+
+
+def main() -> None:
+    """Run the suite, RETRYING on contamination (r4 verdict #2): the
+    driver records this output unattended, and BENCH_r04 proved that a
+    flagged-but-recorded noisy draw still poisons round-over-round
+    comparison. Up to MAX_ATTEMPTS passes with a backoff sleep (lets a
+    co-tenant load spike drain); the first clean draw is emitted; if
+    every attempt trips the control, the LAST flagged draw is emitted
+    (the flag is then the honest signal). Exactly ONE JSON line goes
+    to stdout either way; attempt chatter goes to stderr."""
+    from ldtab_clj_spark.session import get_spark
+
+    spark = get_spark("ldtab-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 16),
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    result = None
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        result = run_suite(spark)
+        result["attempt"] = attempt
+        if not result["contaminated"]:
+            break
+        print(f"bench attempt {attempt}/{MAX_ATTEMPTS} contaminated "
+              f"(control drift {result['control_drift']}); "
+              + ("retrying after sleep"
+                 if attempt < MAX_ATTEMPTS else "giving up"),
+              file=sys.stderr)
+        if attempt < MAX_ATTEMPTS:
+            time.sleep(RETRY_SLEEP_SECS)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

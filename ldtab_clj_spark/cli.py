@@ -117,6 +117,7 @@ def _do_import(spark, args, prefix_df, tmp_paths: list) -> int:
     # import.clj:148-154): .nt → N-Triples, .ttl → Turtle,
     # .owl/.rdf/.rdfxml → RDF/XML, else docs parquet
     ext = Path(args.input.rstrip("/")).suffix.lower()
+    nt_skipped = None  # malformed-line accumulator (batch .nt only)
     is_docs = ext not in (".nt", ".ttl", ".owl", ".rdf", ".rdfxml") \
         and not args.nt
     if args.include_media and (args.streaming or not is_docs):
@@ -145,7 +146,9 @@ def _do_import(spark, args, prefix_df, tmp_paths: list) -> int:
                                             compact=False)
         else:
             from .sources.ntriples import import_ntriples
-            statements = import_ntriples(spark, args.input, prefix_df)
+            nt_skipped = spark.sparkContext.accumulator(0)
+            statements = import_ntriples(spark, args.input, prefix_df,
+                                         skipped_acc=nt_skipped)
     elif ext == ".ttl":
         from .sources.turtle import import_turtle
         statements = import_turtle(spark, args.input, prefix_df)
@@ -190,6 +193,12 @@ def _do_import(spark, args, prefix_df, tmp_paths: list) -> int:
     print(f"imported {info['batch_rows']} statements "
           f"({info['partitions']} partitions, "
           f"table total {info['rows']})")
+    if nt_skipped is not None and nt_skipped.value:
+        # exact now: the write above consumed the full scan, so every
+        # task's accumulator update has landed on the driver
+        print(f"warning: {nt_skipped.value} malformed N-Triples "
+              "line(s) skipped (bad grammar or invalid escape)",
+              file=sys.stderr)
     if info.get("unadopted_files"):
         # orphans of a crashed append still inside the adoption grace
         # window: the printed total under-reports the physical table

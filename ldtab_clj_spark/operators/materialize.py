@@ -124,16 +124,24 @@ def write_statements(statements: DataFrame, path: str,
     # period.
     orphans = [name for name in sorted(pre - in_sidecar)
                if name in per_file]
+    # age is None when the file vanished between glob and stat (e.g. a
+    # concurrent compaction): such a name is neither adoptable nor a
+    # pending orphan — drop it from BOTH counts instead of letting a
+    # ghost inflate unadopted_files into a spurious CLI warning
+    ages = {name: _file_age_secs(path, name) for name in orphans}
     adopted = [{"file": name, "rows": per_file[name],
                 "run_id": "adopted", "ts": ts}
                for name in orphans
-               if _file_age_secs(path, name) > ADOPT_GRACE_SECS]
+               if ages[name] is not None
+               and ages[name] > ADOPT_GRACE_SECS]
     new = adopted + new
     # orphans still inside the grace window are counted but not
     # entered: the returned totals under-report the physical table
     # until a post-grace append adopts them, so surface the gap
     # instead of leaving it silent
-    unadopted = len(orphans) - len(adopted)
+    unadopted = sum(1 for name in orphans
+                    if ages[name] is not None
+                    and ages[name] <= ADOPT_GRACE_SECS)
     if mode == "append":
         # append ONLY this run's rows (atomic single O_APPEND write /
         # new part files): concurrent imports never rewrite each
@@ -154,7 +162,7 @@ ADOPT_GRACE_SECS = 300  # orphan files younger than this may belong to
 #                         a live concurrent run — leave them un-adopted
 
 
-def _file_age_secs(path: str, name: str) -> float:
+def _file_age_secs(path: str, name: str) -> float | None:
     """Seconds since the part file last changed — using the LATER of
     mtime and ctime. mtime alone can predate the job commit by
     arbitrarily long (the parquet committer RENAMES task files out of
@@ -167,7 +175,8 @@ def _file_age_secs(path: str, name: str) -> float:
         st = (Path(local) / name).stat()
         return time.time() - max(st.st_mtime, st.st_ctime)
     except OSError:
-        return 0.0  # vanished mid-look: certainly not a stale orphan
+        return None  # vanished mid-look: callers drop the name from
+        #              both the adopted and the unadopted counts
 
 
 def _list_files(path: str) -> set[str]:
@@ -315,12 +324,51 @@ def read_statements(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def verify_lineage(spark: SparkSession, path: str) -> bool:
+class LineageStatus:
+    """Bool-compatible verify_lineage result: truthiness is the
+    row-count match (back-compat with every ``if verify_lineage(...)``
+    caller); ``unadopted_files`` surfaces part files present on disk
+    but absent from the sidecar — the gap a resume tool needs to see
+    WITHOUT parsing a write result (round-4 verdict #9)."""
+
+    def __init__(self, ok: bool, expected: int, actual: int,
+                 unadopted_files: int):
+        self.ok = ok
+        self.expected = expected
+        self.actual = actual
+        self.unadopted_files = unadopted_files
+
+    def __bool__(self) -> bool:
+        return self.ok
+
+    def __eq__(self, other):          # `verify_lineage(...) == True`
+        if isinstance(other, bool):
+            return self.ok == other
+        return NotImplemented
+
+    def __repr__(self) -> str:
+        return (f"LineageStatus(ok={self.ok}, expected={self.expected},"
+                f" actual={self.actual},"
+                f" unadopted_files={self.unadopted_files})")
+
+
+def verify_lineage(spark: SparkSession, path: str) -> LineageStatus:
     """Resumability check: the lineage sidecar row counts must match
     the table — a stage whose sidecar disagrees is re-run. Reads
     through _read_sidecar (per-file dedup, so a concurrent-append race
     entry can't fail a healthy table). Full table count — fine as an
-    explicit verifier, not something to call per stage routinely."""
-    expected = sum(int(r["rows"]) for r in _read_sidecar(spark, path))
+    explicit verifier, not something to call per stage routinely.
+
+    Returns a bool-compatible LineageStatus; ``unadopted_files``
+    counts sidecar-less part files still on disk (crash orphans inside
+    the adoption grace window, or a live concurrent run's in-flight
+    files) so resume tooling sees the convergence gap directly."""
+    sidecar = _read_sidecar(spark, path)
+    expected = sum(int(r["rows"]) for r in sidecar)
     actual = spark.read.parquet(path).count()
-    return expected == actual
+    in_sidecar = {r["file"] for r in sidecar}
+    unadopted = sum(
+        1 for name in _list_files(path) - in_sidecar
+        if _file_age_secs(path, name) is not None)
+    return LineageStatus(expected == actual, expected, actual,
+                         unadopted)

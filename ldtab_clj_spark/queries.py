@@ -319,8 +319,19 @@ def dedup_simhash(spark, sf):
 
 
 def dedup_simhash_pairs(spark, sf):
+    """Driver entry runs the numpy Arrow throughput mode — the path
+    you'd run at scale; bit parity with mode="sql" is pinned by
+    test_dedup (Catalyst-tokenization-parity rule), and the sql form
+    stays oracle-checked as dedup_simhash_pairs_sql (EXTRA)."""
     from .operators.dedup import simhash_pairs
-    return simhash_pairs(load(spark, sf, "documents"))
+    return simhash_pairs(load(spark, sf, "documents"), mode="arrow")
+
+
+def dedup_simhash_pairs_sql(spark, sf):
+    """Differential twin: the Catalyst built-ins form the DuckDB
+    oracle mirrors expression-for-expression."""
+    from .operators.dedup import simhash_pairs
+    return simhash_pairs(load(spark, sf, "documents"), mode="sql")
 
 
 def text_token_count(spark, sf):
@@ -823,8 +834,19 @@ def ann_srp_near_dup(spark, sf):
     """Embedding near-dup via multi-table SRP-LSH candidates + exact
     cosine confirm — the scale path (bucket-key shuffle, never
     all-pairs). Deterministic integer planes so DuckDB reproduces the
-    bucketing bit-for-bit. No reference analog (north-star op,
-    SURVEY.md §2.10)."""
+    bucketing bit-for-bit. Driver entry runs mode="arrow" (the scale
+    path; bit parity with "sql" pinned by test_similarity); the sql
+    form stays oracle-checked as ann_srp_near_dup_sql (EXTRA). No
+    reference analog (north-star op, SURVEY.md §2.10)."""
+    from .operators.similarity import srp_banded_near_dup, srp_plane_tables
+    return srp_banded_near_dup(load(spark, sf, "embeddings"),
+                               srp_plane_tables(), threshold=0.4,
+                               mode="arrow")
+
+
+def ann_srp_near_dup_sql(spark, sf):
+    """Differential twin of ann_srp_near_dup (Catalyst built-ins =
+    the DuckDB oracle's expression form)."""
     from .operators.similarity import srp_banded_near_dup, srp_plane_tables
     return srp_banded_near_dup(load(spark, sf, "embeddings"),
                                srp_plane_tables(), threshold=0.4)
@@ -833,7 +855,21 @@ def ann_srp_near_dup(spark, sf):
 def ann_ivf_topk(spark, sf):
     """IVF-bucketed ANN top-k (inverted file over deterministic
     centroids, n_probe=2) — the other classic bucketed scale path next
-    to SRP-LSH. No reference analog (north-star op, SURVEY.md §2.10)."""
+    to SRP-LSH. Driver entry runs assign_mode="arrow" (the numpy twin
+    whose IEEE summation order reproduces the Catalyst fold
+    bit-for-bit — parity pinned by test_ivf_assign_arrow_bit_parity);
+    the interpreted-fold sql form stays oracle-checked as
+    ann_ivf_topk_sql (EXTRA). No reference analog (north-star op,
+    SURVEY.md §2.10)."""
+    from .operators.similarity import ivf_cosine_topk
+    emb = load(spark, sf, "embeddings")
+    return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
+                           n_centroids=16, n_probe=2, k=5,
+                           assign_mode="arrow")
+
+
+def ann_ivf_topk_sql(spark, sf):
+    """Differential twin of ann_ivf_topk (Catalyst fold assignment)."""
     from .operators.similarity import ivf_cosine_topk
     emb = load(spark, sf, "embeddings")
     return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
@@ -933,6 +969,15 @@ def kg_pipeline_media(spark, sf):
 # Guarded brute-force verifiers and redundant operator twins live in
 # EXTRA_QUERIES below; they run through the SAME oracle harness via
 # tools/check_oracles.py and tests/test_oracle_registry.py.
+#
+# ROTATION (r4 verdict #5): entries displaced by the cap get a driver
+# CORRECTNESS row at least every other round by swapping cap slots
+# with stable multi-round-green twins. Round 5 swaps IN tpch_q13/q16/
+# q21/q22, text_winnow, so5_state_replay and OUT tpch_q6/q7/q10/q12/
+# q14, text_token_count (each green in CORRECTNESS_r02-r04 and
+# shape-covered by a sibling still in the registry: q6/q14⊂q19 scan+
+# agg pushdown, q7/q10⊂q5/q9 dim-join chains, q12⊂q4, token_count⊂
+# term_stats/token_bpe). Swap back (or rotate further) next round.
 DRIVER_CAP = 50
 
 QUERIES = {
@@ -963,14 +1008,13 @@ QUERIES = {
     "tpch_q3": tpch_q3,
     "tpch_q4": tpch_q4,
     "tpch_q5": tpch_q5,
-    "tpch_q6": tpch_q6,
-    "tpch_q7": tpch_q7,
     "tpch_q9": tpch_q9,
-    "tpch_q10": tpch_q10,
-    "tpch_q12": tpch_q12,
-    "tpch_q14": tpch_q14,
+    "tpch_q13": tpch_q13,
+    "tpch_q16": tpch_q16,
     "tpch_q18": tpch_q18,
     "tpch_q19": tpch_q19,
+    "tpch_q21": tpch_q21,
+    "tpch_q22": tpch_q22,
     "events_hourly_window": events_hourly_window,
     "events_session_window": events_session_window,
     "dedup_exact": dedup_exact,
@@ -978,7 +1022,8 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_boilerplate": dedup_boilerplate,
     "dedup_minhash_clusters": dedup_minhash_clusters,
-    "text_token_count": text_token_count,
+    "text_winnow": text_winnow,
+    "so5_state_replay": so5_state_replay,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -990,27 +1035,31 @@ QUERIES = {
 
 # Oracle-checked but NOT driver-submitted: the quadratic guarded
 # verifiers (ann_near_dup, dedup_word_jaccard, kg_mention_extract,
-# ann_cosine_topk) and twins whose operator is already driver-covered
-# by its scale-path sibling (dedup_simhash ⊂ dedup_simhash_pairs,
-# events_sessionize ~ events_session_window, j5 window form ~
-# c2_curify CASE form + w4 windows, so5_state_replay ⊂ so5_state_at_t,
-# a4/a5 trivial aggregates, text_winnow ~ text_fingerprint).
+# ann_cosine_topk), the sql-mode differential twins of the arrow-mode
+# driver entries, and twins whose operator is already driver-covered
+# by a sibling (dedup_simhash ⊂ dedup_simhash_pairs, events_sessionize
+# ~ events_session_window, j5 window form ~ c2_curify CASE form + w4
+# windows, a4/a5 trivial aggregates, plus the round-5 rotation's
+# swapped-out set — see the ROTATION note above DRIVER_CAP).
 EXTRA_QUERIES = {
-    "tpch_q13": tpch_q13,
-    "tpch_q16": tpch_q16,
-    "tpch_q21": tpch_q21,
-    "tpch_q22": tpch_q22,
+    "tpch_q6": tpch_q6,
+    "tpch_q7": tpch_q7,
+    "tpch_q10": tpch_q10,
+    "tpch_q12": tpch_q12,
+    "tpch_q14": tpch_q14,
+    "text_token_count": text_token_count,
     "ann_near_dup": ann_near_dup,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_srp_near_dup_sql": ann_srp_near_dup_sql,
+    "ann_ivf_topk_sql": ann_ivf_topk_sql,
+    "dedup_simhash_pairs_sql": dedup_simhash_pairs_sql,
     "dedup_word_jaccard": dedup_word_jaccard,
     "dedup_simhash": dedup_simhash,
     "kg_mention_extract": kg_mention_extract,
     "events_sessionize": events_sessionize,
     "j5_prefix_longest_match": j5_prefix_longest_match,
-    "so5_state_replay": so5_state_replay,
     "a4_max_transaction": a4_max_transaction,
     "a5_distinct_sorted": a5_distinct_sorted,
-    "text_winnow": text_winnow,
 }
 
 # single source of truth for tools that need both registries
@@ -1648,3 +1697,10 @@ def _mm_oracles() -> dict[str, str]:
 
 
 ORACLE_SQL.update(_mm_oracles())
+
+# the arrow/sql differential twins share one oracle: parity between
+# the two modes is pinned bit-for-bit by pytest, so the DuckDB SQL
+# written against the Catalyst expression form checks both
+ORACLE_SQL["ann_srp_near_dup_sql"] = ORACLE_SQL["ann_srp_near_dup"]
+ORACLE_SQL["ann_ivf_topk_sql"] = ORACLE_SQL["ann_ivf_topk"]
+ORACLE_SQL["dedup_simhash_pairs_sql"] = ORACLE_SQL["dedup_simhash_pairs"]

@@ -129,16 +129,29 @@ def _parse_groups(s_iri, s_blank, p_iri, o_iri, o_blank,
 
 
 def parse_nt_lines(lines: DataFrame,
-                   prefixes: list[tuple[str, str]]) -> DataFrame:
+                   prefixes: list[tuple[str, str]],
+                   skipped_acc=None) -> DataFrame:
     """text lines DataFrame (column ``value``) → thin triples; shared
-    by the batch reader and the streaming import."""
+    by the batch reader and the streaming import.
+
+    ``skipped_acc``: optional SparkContext accumulator incremented for
+    every non-blank, non-comment line that fails to parse (grammar
+    mismatch OR invalid escape — the r4 strictness change made escape-
+    invalid literals vanish silently; the counter makes dropped lines
+    visible, matching the fail-loudly principle). Accumulator value is
+    exact only after an action has consumed the full scan."""
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            skipped = 0
             for line in pdf["value"]:
                 t = parse_nt_line(line, prefixes)
                 if t:
                     rows.append((*t, "", 0))
+                elif line.strip() and not line.lstrip().startswith("#"):
+                    skipped += 1
+            if skipped_acc is not None and skipped:
+                skipped_acc.add(skipped)
             yield pd.DataFrame(rows,
                                columns=[f.name for f in THIN.fields])
 
@@ -146,19 +159,22 @@ def parse_nt_lines(lines: DataFrame,
 
 
 def read_ntriples(spark: SparkSession, path: str,
-                  prefix_df: DataFrame) -> DataFrame:
+                  prefix_df: DataFrame,
+                  skipped_acc=None) -> DataFrame:
     """Distributed N-Triples scan → thin triples (doc_id empty; run
     operators/components.assign_components before stanza assembly)."""
     prefixes = [(r["prefix"], r["base"]) for r in prefix_df.collect()]
-    return parse_nt_lines(spark.read.text(path), prefixes)
+    return parse_nt_lines(spark.read.text(path), prefixes, skipped_acc)
 
 
 def import_ntriples(spark: SparkSession, path: str,
-                    prefix_df: DataFrame) -> DataFrame:
+                    prefix_df: DataFrame,
+                    skipped_acc=None) -> DataFrame:
     """Full `ldtab import file.nt` equivalent: parse → component
     closure → stanza assembly → dedup. Returns the statement table."""
     from ..operators.components import assign_components
     from ..operators.materialize import dedup_statements
     from ..operators.stanza import thin_to_thick_df
-    thin = assign_components(read_ntriples(spark, path, prefix_df))
+    thin = assign_components(
+        read_ntriples(spark, path, prefix_df, skipped_acc))
     return dedup_statements(thin_to_thick_df(thin))

@@ -426,9 +426,12 @@ def _to_thin(raw: list[tuple],
         if dt == "_JSONMAP":
             # both parsers tag only blank labels _JSONMAP since the r4
             # empty-collection fix (rdf:nil arrives as _IRI); a
-            # non-blank here is a parser bug, not a case to paper over
-            assert o.startswith("_:"), \
-                f"non-blank object {o!r} tagged _JSONMAP"
+            # non-blank here is a parser bug, not a case to paper
+            # over. Raised, not asserted: python -O strips asserts,
+            # which would let the bug ride through to export silently.
+            if not o.startswith("_:"):
+                raise TurtleError(
+                    f"non-blank object {o!r} tagged _JSONMAP")
             obj, d = blank(o), "_JSONMAP"
         elif dt == "_IRI":
             obj, d = curify_with(o, prefixes), "_IRI"

@@ -62,7 +62,8 @@ def _import_query_name(table_path: str) -> str:
     return f"ldtab-import:{table_path}"
 
 
-def compact_ann_keys(spark: SparkSession, table_path: str) -> None:
+def compact_ann_keys(spark: SparkSession, table_path: str,
+                     _post_read_hook=None) -> None:
     """Rewrite the ann-keys side table deduped on KEYS.
 
     The per-batch append accretes one file and up to one duplicate key
@@ -70,27 +71,67 @@ def compact_ann_keys(spark: SparkSession, table_path: str) -> None:
     per-batch read linearly in batch COUNT (round-3 finding). Runs
     every COMPACT_EVERY batches and at availableNow completion.
 
-    Crash-safe without atomic rename: the deduped copy is fully
-    written to a sibling tmp dir before the old table is dropped; if
-    the process dies between drop and rename, the side table is merely
-    ABSENT and the next stream start rebuilds it from the statement
-    table (the existing bootstrap path) — never wrong, at worst one
-    extra scan."""
+    CROSS-PROCESS SAFE (r4 ADVICE): the side table may transiently
+    hold duplicate key rows but never loses a committed key. The old
+    read→rmtree→rename swap deleted unread files — a concurrent import
+    in another process appending a key file between the read and the
+    rmtree lost those keys, silently un-suppressing superfluous bare
+    rows. Now compaction (1) snapshots the part-file list, (2) reads
+    exactly those files, (3) moves the deduped copy INTO the live dir
+    under fresh names, then (4) unlinks only the snapshotted files. A
+    file appended at any point survives untouched; duplicate keys are
+    harmless (the backlog anti-join tests membership only) and the
+    next compaction removes them. A crash at any step leaves a
+    SUPERSET of the committed keys — never an absent or key-missing
+    table — so there is no window where a reader can miss a key.
+    A best-effort non-blocking flock skips compaction when another
+    process is already compacting (pure wasted-work avoidance: even
+    two unlocked compactors are safe — both add their deduped copy and
+    the double unlink is missing_ok-tolerant).
+
+    ``_post_read_hook`` is a test seam invoked between the snapshot
+    read and the merge, where a concurrent append would race."""
+    import fcntl
     import os
     import shutil
     from pathlib import Path
 
     keys_path = ann_keys_path(table_path)
-    if not Path(keys_path).exists():
+    kp = Path(keys_path)
+    if not kp.exists():
         return
-    tmp = keys_path + "_compact_tmp"
-    # no coalesce(1): dedup's shuffle already bounds the file count at
-    # spark.sql.shuffle.partitions, and a single reducer would choke
-    # on a 100 TB-history key table
-    (spark.read.parquet(keys_path).dropDuplicates(KEYS)
-     .write.mode("overwrite").parquet(tmp))
-    shutil.rmtree(keys_path)
-    os.rename(tmp, keys_path)
+    lock_fd = os.open(keys_path + ".compact_lock",
+                      os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            return  # another process is compacting this table now
+        snapshot = sorted(str(f) for f in kp.glob("*.parquet"))
+        if not snapshot:
+            return
+        tmp = keys_path + "_compact_tmp"
+        # no coalesce(1): dedup's shuffle already bounds the file
+        # count at spark.sql.shuffle.partitions, and a single reducer
+        # would choke on a 100 TB-history key table
+        (spark.read.parquet(*snapshot).dropDuplicates(KEYS)
+         .write.mode("overwrite").parquet(tmp))
+        if _post_read_hook is not None:
+            _post_read_hook()
+        # add-then-remove: new names can't collide (part names carry
+        # the writing job's UUID) and a reader that lists mid-merge
+        # sees duplicates, never a gap
+        for part in Path(tmp).glob("*.parquet"):
+            os.replace(part, kp / f"compact-{part.name}")
+        for f in snapshot:
+            p = Path(f)
+            p.unlink(missing_ok=True)
+            # the local ChecksumFileSystem's sidecar would otherwise
+            # accrete one stale hidden file per compacted part
+            (p.parent / f".{p.name}.crc").unlink(missing_ok=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        os.close(lock_fd)
 
 
 def _start_streaming(spark: SparkSession, stream: DataFrame,
@@ -228,10 +269,11 @@ def read_stream_result(spark: SparkSession, table_path: str,
     ``compact=True`` runs the end-of-stream side-table compaction (the
     availableNow completion hook) — skipped automatically while a
     streaming query writing THIS table (matched by query name) is
-    still active, because the rmtree→rename swap must never race a
-    micro-batch's append or prior-keys read; unrelated streams don't
-    suppress it. Pass ``compact=False`` when the table is a throwaway
-    about to be deleted (the CLI's per-run tmp table)."""
+    still active (the add-then-remove merge is safe against concurrent
+    appends, but compacting mid-stream is wasted churn); unrelated
+    streams don't suppress it. Pass ``compact=False`` when the table
+    is a throwaway about to be deleted (the CLI's per-run tmp
+    table)."""
     from pathlib import Path
 
     from ..schemas import STATEMENT

@@ -137,3 +137,24 @@ def test_nt_malformed_uchar_skips_line():
     ]:
         assert parse_nt_line(bad, prefixes) is None
     assert parse_nt_line(good, prefixes) is not None
+
+
+def test_nt_skipped_line_counter(spark, tmp_path, prefix_df):
+    """r4 ADVICE: the stricter escape validation silently VANISHED
+    escape-invalid literals from imports. The optional accumulator
+    makes every dropped non-blank/non-comment line countable (exact
+    after an action), while blank lines and comments stay free."""
+    from ldtab_clj_spark.sources.ntriples import read_ntriples
+
+    nt = tmp_path / "mixed.nt"
+    nt.write_text(
+        "# comment line\n"
+        "\n"
+        '<http://example.com/a> <http://example.com/p> "ok" .\n'
+        '<http://example.com/a> <http://example.com/p> "bad\\z" .\n'
+        "not a triple at all\n"
+        '<http://example.com/b> <http://example.com/p> "\\uD800" .\n')
+    acc = spark.sparkContext.accumulator(0)
+    parsed = read_ntriples(spark, str(nt), prefix_df, skipped_acc=acc)
+    assert parsed.count() == 1      # the action makes the count exact
+    assert acc.value == 3           # bad ECHAR + garbage + surrogate

@@ -164,8 +164,14 @@ def test_append_adopts_orphan_files_after_crash(spark, tmp_path,
     # below lowers the threshold instead of forging timestamps.
     i2 = write_statements(statements.limit(1), out, partitions=1,
                           run_id="r2", mode="append")
-    assert not verify_lineage(spark, out)
-    assert i2["unadopted_files"] > 0  # the gap is visible, not silent
+    status = verify_lineage(spark, out)
+    assert not status
+    # the gap is surfaced by BOTH the write result and verify_lineage
+    # itself (r4 verdict #9: resume tooling shouldn't have to parse
+    # write results to see it)
+    assert i2["unadopted_files"] > 0
+    assert status.unadopted_files > 0
+    assert status.actual > status.expected
     # ...past the grace period the next append adopts them
     orig = mat.ADOPT_GRACE_SECS
     mat.ADOPT_GRACE_SECS = -1.0
@@ -174,7 +180,9 @@ def test_append_adopts_orphan_files_after_crash(spark, tmp_path,
                                 run_id="r3", mode="append")
     finally:
         mat.ADOPT_GRACE_SECS = orig
-    assert verify_lineage(spark, out)      # ...and the re-run converges
+    status = verify_lineage(spark, out)
+    assert status                          # ...and the re-run converges
+    assert status.unadopted_files == 0
     assert info["rows"] == 2 * n + 7 + 1
     rows = [json.loads(line) for line in
             (Path(out + "_lineage") / "lineage.json").read_text()

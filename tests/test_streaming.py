@@ -151,6 +151,37 @@ def test_ann_keys_side_table_stays_bounded(spark, tmp_path):
     assert key_set(result) == want
 
 
+def test_compaction_survives_concurrent_append(spark, tmp_path):
+    """r4 ADVICE (medium): the old read→rmtree→rename swap deleted a
+    key file appended by a concurrent import between the snapshot read
+    and the rmtree — losing committed keys, so bare rows that should
+    be suppressed as superfluous survived later batches. The add-then-
+    remove merge must preserve a file landing in exactly that window
+    (injected via the _post_read_hook test seam)."""
+    from ldtab_clj_spark.streaming.pipeline import (KEYS, ann_keys_path,
+                                                    compact_ann_keys)
+
+    table = str(tmp_path / "race_table")
+    keys_path = ann_keys_path(table)
+    k_old = ("graph", "ex:s", "ex:p", "ex:o", "_IRI")
+    k_new = ("graph", "ex:s2", "ex:p", "ex:o2", "_IRI")
+    # two appends of the same key = the duplication compaction removes
+    for _ in range(2):
+        spark.createDataFrame([k_old], KEYS).coalesce(1) \
+            .write.mode("append").parquet(keys_path)
+
+    def concurrent_append():  # "another process", mid-compaction
+        spark.createDataFrame([k_new], KEYS).coalesce(1) \
+            .write.mode("append").parquet(keys_path)
+
+    compact_ann_keys(spark, table, _post_read_hook=concurrent_append)
+    got = {tuple(r) for r in spark.read.parquet(keys_path).collect()}
+    assert got == {k_old, k_new}  # deduped AND nothing lost
+    # second compaction (no race) collapses to exactly the distinct set
+    compact_ann_keys(spark, table)
+    assert spark.read.parquet(keys_path).count() == 2
+
+
 def test_stateful_annotation_association(spark, tmp_path):
     """R9 keyed-state variant: bare rows held, annotated twins win,
     timeout flushes the tail."""

@@ -37,10 +37,6 @@ SKIPS = {
         "subjects would corrupt the statement table "
         "(sources/turtle.py docstring; pinned by "
         "test_relative_iri_without_base_fails_fast)",
-    "localName_with_nfc_PN_CHARS_BASE_character_boundaries":
-        "full multi-kiloline NFC boundary enumeration not transcribed "
-        "offline; representative unicode PN_CHARS cases below and in "
-        "test_turtle_conformance.py cover the grammar classes",
     "turtle-eval-graph-isomorphism-bnode-relabel":
         "expected sets pin the parser's deterministic _:anonN labels "
         "instead of running a graph-isomorphism checker; stricter, "
@@ -413,7 +409,7 @@ def test_w3c_matrix_summary(capsys):
                + len(NT_POSITIVE) + len(NT_NEGATIVE)
                + len(RDFXML_POSITIVE) + len(RDFXML_NEGATIVE))
     assert n_cases >= 85
-    assert len(SKIPS) == 3
+    assert len(SKIPS) == 2  # r5 closed the NFC PN_CHARS boundary skip
     for reason in SKIPS.values():
         assert len(reason) > 40  # every skip carries a real rationale
 
@@ -430,3 +426,95 @@ def test_empty_collection_roundtrips_through_nt_export():
     assert rendered == f"<{RDF}nil>"
     line = f"<{s}> <{p}> {rendered} ."
     assert parse_nt_line(line, []) is not None
+
+
+# ---------------------------------------------------------------------------
+# PN_CHARS_BASE boundary enumeration (closes the r4 SKIP): the W3C
+# localName/prefix *_with_nfc_PN_CHARS_BASE_character_boundaries cases
+# can't be vendored offline, but the grammar RANGES are enumerable —
+# generate the boundary codepoints programmatically (Turtle 1.1 §6.5)
+# and drive both the accept side (innermost NFC-stable char of every
+# range endpoint, as prefix first-char, local first-char and local
+# mid-char) and the reject side (the codepoint just OUTSIDE each
+# range, where not legalized by another PN_CHARS class).
+
+PNB_RANGES = [  # PN_CHARS_BASE ::= [A-Z] | [a-z] | ...
+    (0x41, 0x5A), (0x61, 0x7A), (0xC0, 0xD6), (0xD8, 0xF6),
+    (0xF8, 0x2FF), (0x370, 0x37D), (0x37F, 0x1FFF), (0x200C, 0x200D),
+    (0x2070, 0x218F), (0x2C00, 0x2FEF), (0x3001, 0xD7FF),
+    (0xF900, 0xFDCF), (0xFDF0, 0xFFFD), (0x10000, 0xEFFFF)]
+
+# the additional PN_CHARS classes that can legalize an outside-PNB
+# codepoint in non-first position
+_PNC_EXTRA = ({0x2D, 0x5F, 0xB7} | set(range(0x30, 0x3A))
+              | set(range(0x300, 0x370)) | {0x203F, 0x2040})
+
+
+def _in_pnb(cp: int) -> bool:
+    return any(lo <= cp <= hi for lo, hi in PNB_RANGES)
+
+
+def _nfc_boundary_char(cp: int, lo: int, hi: int, step: int):
+    """Innermost NFC-stable codepoint walking inward from a range
+    endpoint — mirrors the W3C cases' NFC qualifier (a char whose NFC
+    form leaves the range would test normalization, not the parser)."""
+    import unicodedata
+    while lo <= cp <= hi:
+        ch = chr(cp)
+        if unicodedata.normalize("NFC", ch) == ch:
+            return ch
+        cp += step
+    return None
+
+
+def _pnb_boundary_chars():
+    for lo, hi in PNB_RANGES:
+        for cp, step in ((lo, +1), (hi, -1)):
+            ch = _nfc_boundary_char(cp, lo, hi, step)
+            assert ch is not None, f"no NFC-stable char in {lo:X}-{hi:X}"
+            yield ch
+
+
+@pytest.mark.parametrize("ch", list(_pnb_boundary_chars()),
+                         ids=lambda c: f"U+{ord(c):04X}")
+def test_nfc_pn_chars_base_boundary_accepted(ch):
+    # local name: boundary char first and mid
+    got = parse_turtle(P + f"p:s p:p p:{ch}x{ch} .")
+    assert set(got) == {(f"{A}s", f"{A}p", f"{A}{ch}x{ch}", "_IRI")}
+    # prefix label: boundary char as its (first) char
+    got = parse_turtle(f"@prefix {ch}: <{A}> .\n{ch}:s {ch}:p {ch}:o .")
+    assert set(got) == {(f"{A}s", f"{A}p", f"{A}o", "_IRI")}
+    # NT blank label (documented leniency: the NT reader's label
+    # grammar is permissive-non-space, so every legal PN_CHARS label
+    # parses; this pins the positive direction of the W3C bnode cases)
+    t = parse_nt_line(f"_:{ch}b <{A}p> <{A}o> .", [])
+    assert t is not None and t[0] == f"_:{ch}b"
+
+
+def _pnb_outside_chars():
+    seen = set()
+    for lo, hi in PNB_RANGES:
+        for cp in (lo - 1, hi + 1):
+            if (_in_pnb(cp) or cp in _PNC_EXTRA or cp in seen
+                    or 0xD800 <= cp <= 0xDFFF):  # lone surrogates:
+                continue  # not representable in well-formed input
+            seen.add(cp)
+            yield chr(cp)
+
+
+@pytest.mark.parametrize("ch", list(_pnb_outside_chars()),
+                         ids=lambda c: f"U+{ord(c):04X}")
+def test_pn_chars_base_outside_boundary_rejected(ch):
+    """The codepoint just past each PN_CHARS_BASE range endpoint must
+    NOT extend a prefixed name: either the tokenizer rejects it or the
+    name token ends before it and the leftover fails the statement
+    grammar. Both surface as TurtleError."""
+    with pytest.raises(TurtleError):
+        parse_turtle(P + f"p:s p:p p:a{ch}b{ch} f .")
+    # mid-label (not first-char) form: for the two outside-chars that
+    # are unicode WHITESPACE (U+2000, U+3000) a leading char would
+    # just be token-separating space, degenerating into a valid
+    # declaration; mid-label splits the pname token for every class
+    with pytest.raises(TurtleError):
+        parse_turtle(f"@prefix x{ch}y: <{A}> .\n"
+                     f"x{ch}y:s x{ch}y:p x{ch}y:o .")
