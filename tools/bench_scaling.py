@@ -29,10 +29,15 @@ from ldtab_clj_spark.plans.pipeline import run_pipeline
 # cores (GC pressure grows with shuffle volume); the session default
 # stays 8g because big heaps HURT the many-small-queries local[32]
 # bench — see session.py
+import os as _os
+_extra = {{"spark.ui.showConsoleProgress": "false",
+           "spark.driver.memory": "16g"}}
+# per-run conf overrides (e.g. the r5 python.worker.reuse finding)
+_extra.update(json.loads(
+    _os.environ.get("SPARK_SCALING_EXTRA_CONF", "{{}}")))
 spark = get_spark("scaling", master="local[{cores}]",
                   shuffle_partitions={parts},
-                  extra_conf={{"spark.ui.showConsoleProgress": "false",
-                               "spark.driver.memory": "16g"}})
+                  extra_conf=_extra)
 # warm the JVM/Python workers so we time compute, not startup
 run_pipeline(spark, n_docs=200, seed=1).count()
 t0 = time.perf_counter()
@@ -67,16 +72,31 @@ def main() -> None:
     # phases landed entirely in the efficiency ratio — pairing the
     # trials exposes both legs to the same box state
     r_lo = r_hi = None
+    pair_effs = []
     for _ in range(TRIALS):
-        r = run_once(lo, n_docs)
-        if r_lo is None or r["sec"] < r_lo["sec"]:
-            r_lo = r
-        r = run_once(hi, n_docs)
-        if r_hi is None or r["sec"] < r_hi["sec"]:
-            r_hi = r
+        a = run_once(lo, n_docs)
+        if r_lo is None or a["sec"] < r_lo["sec"]:
+            r_lo = a
+        b = run_once(hi, n_docs)
+        if r_hi is None or b["sec"] < r_hi["sec"]:
+            r_hi = b
+        # per-PAIR efficiency: each adjacent (1c, 4c) pair shares box
+        # state, so under the box's slow/fast phase oscillation (r5:
+        # identical code drew 132-324s at 2M within hours) the median
+        # pair efficiency is the honest statistic — best-of legs drawn
+        # from DIFFERENT phases can fabricate or destroy the ratio
+        pair_effs.append(round(
+            (b["rows_per_sec"] / a["rows_per_sec"]) / (hi / lo), 3))
+    import statistics
     eff = (r_hi["rows_per_sec"] / r_lo["rows_per_sec"]) / (hi / lo)
+    import os
     result = {"n_docs": n_docs, "low": r_lo, "high": r_hi,
               "scaling_efficiency": round(eff, 3),
+              "pair_efficiencies": pair_effs,
+              "median_pair_efficiency":
+                  round(statistics.median(pair_effs), 3),
+              "extra_conf": json.loads(
+                  os.environ.get("SPARK_SCALING_EXTRA_CONF", "{}")),
               "ts": int(time.time())}
     print(json.dumps(result))
     # append raw runs to a jsonl log; BENCH/BASELINE.md is curated by

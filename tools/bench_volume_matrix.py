@@ -29,13 +29,26 @@ from ldtab_clj_spark.plans.pipeline import run_pipeline
 spark = get_spark("volmatrix", master="local[4]",
                   shuffle_partitions={parts},
                   extra_conf={extra!r})
+
+def gc_ms():
+    # cumulative stop-the-world GC time across all collectors — a
+    # DRIFT-INSENSITIVE mechanistic probe: wall seconds swing 2-3x
+    # with box state, but gc_sec/wall_sec isolates the GC hypothesis
+    beans = (spark.sparkContext._jvm.java.lang.management
+             .ManagementFactory.getGarbageCollectorMXBeans())
+    return sum(beans.get(i).getCollectionTime()
+               for i in range(beans.size()))
+
 run_pipeline(spark, n_docs=200, seed=1).count()
-t0 = time.perf_counter()
+g0, t0 = gc_ms(), time.perf_counter()
 rows = run_pipeline(spark, n_docs={n_docs}, seed=42,
                     partitions={parts}).count()
 dt = time.perf_counter() - t0
+gsec = (gc_ms() - g0) / 1000.0
 print(json.dumps({{"rows": int(rows), "sec": dt,
-                   "rows_per_sec": rows / dt}}))
+                   "rows_per_sec": rows / dt,
+                   "gc_sec": round(gsec, 2),
+                   "gc_frac": round(gsec / dt, 4)}}))
 """
 
 BASE = {"spark.ui.showConsoleProgress": "false",
@@ -57,6 +70,17 @@ VARIANTS = {
     # the larger shuffle volume
     "filebuf1m": (64, {"spark.shuffle.file.buffer": "1m"}),
     "parts128_filebuf1m": (128, {"spark.shuffle.file.buffer": "1m"}),
+    # fresh Python worker per task: tests whether the thick stage's
+    # volume-coupled 4-core erosion is reused-worker RSS growth /
+    # allocator fragmentation over the longer sustained stage
+    "noreuse": (64, {"spark.python.worker.reuse": "false"}),
+    # spill probe: at 4 concurrent tasks each gets 1/4 of the
+    # execution-memory pool; doubling volume at fixed partition count
+    # doubles per-task data, so 4c tasks may spill where 1c tasks
+    # don't — a volume-coupled 4c-only tax. If 32g recovers the 4c
+    # leg, the erosion is sorter/agg spill, not CPU
+    "mem32": (64, {"spark.driver.memory": "32g"}),
+    "memfrac8": (64, {"spark.memory.fraction": "0.8"}),
 }
 
 
@@ -83,5 +107,38 @@ def main() -> None:
             f.write(json.dumps(rec) + "\n")
 
 
+def duel(n_docs: int, a: str, b: str, pairs: int = 3) -> None:
+    """Paired A/B for drifty-box days: run a,b back-to-back ``pairs``
+    times and report the per-pair sec ratio (b/a). Adjacent runs share
+    box state, so the MEDIAN pair ratio survives drift that makes
+    isolated trials incomparable (this matrix's first pass measured
+    the same code 132s-324s purely on box swing)."""
+    import statistics
+    out_path = REPO / "BENCH" / "volume_matrix.jsonl"
+    ratios = []
+    for i in range(pairs):
+        recs = {}
+        for name in (a, b) if i % 2 == 0 else (b, a):
+            parts, extra = VARIANTS[name]
+            r = run_once(n_docs, parts, extra)
+            rec = {"variant": name, "n_docs": n_docs, "parts": parts,
+                   "pair": i, **r, "ts": int(time.time())}
+            recs[name] = rec
+            print(json.dumps(rec), flush=True)
+            with out_path.open("a") as f:
+                f.write(json.dumps(rec) + "\n")
+        ratios.append(recs[b]["sec"] / recs[a]["sec"])
+        print(f"pair {i}: {b}/{a} sec ratio = {ratios[-1]:.3f}",
+              flush=True)
+    print(json.dumps({"duel": f"{b}_vs_{a}", "n_docs": n_docs,
+                      "ratios": [round(x, 3) for x in ratios],
+                      "median": round(statistics.median(ratios), 3)}),
+          flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "duel":
+        duel(int(sys.argv[2]), sys.argv[3], sys.argv[4],
+             int(sys.argv[5]) if len(sys.argv) > 5 else 3)
+    else:
+        main()
