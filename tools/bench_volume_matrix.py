@@ -81,6 +81,14 @@ VARIANTS = {
     # leg, the erosion is sorter/agg spill, not CPU
     "mem32": (64, {"spark.driver.memory": "32g"}),
     "memfrac8": (64, {"spark.memory.fraction": "0.8"}),
+    # shuffle files on tmpfs instead of the shared virtio disk: /tmp
+    # is ext4 on /dev/vda (host-shared block storage), so 4 concurrent
+    # shuffle writers pay host-side block-I/O contention a single
+    # writer doesn't — the same mechanism that made zstd (fewer bytes)
+    # a 4c-only win. /dev/shm is a 126G tmpfs; on a real cluster this
+    # corresponds to provisioning local SSDs for spark.local.dir,
+    # which is standard practice
+    "shmdir": (64, {"spark.local.dir": "/dev/shm/ldtab-spark-local"}),
 }
 
 
