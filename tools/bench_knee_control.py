@@ -1,19 +1,25 @@
-"""Thread-knee control (r5): generic shuffle+sort+Python job.
+"""Thread-knee control: shuffle+sort+PYTHON-STRING job (r5 rev).
 
-The pipeline's weakest marginal scaler is the thin→thick stage
-(repartition → JVM sortWithinPartitions → Arrow → pandas UDF): at 4
-cores it keeps ~8 threads busy (4 JVM sort/Arrow + 4 Python workers),
-which is exactly the documented knee where this VM's thread scaling
-flattens. The r4 pure-Python control (matmul mapInPandas, JVM side
-idle) scaled 0.997 — it never reached the knee.
+Purpose: decide whether the pipeline's 4-core efficiency erosion at
+volume (1M: 0.78-0.82 → 2M: 0.70-0.75) is pipeline code or this
+shared VM's thread scaling, by reproducing the thick stage's RESOURCE
+SHAPE with none of its code.
 
-This control reproduces the thick stage's THREAD SHAPE with none of
-its code: random rows → repartition(64) → sortWithinPartitions →
-mapInPandas(numpy work per batch) → count, at 1 vs 4 cores,
-interleaved. If IT lands at ~0.6-0.75 too, the pipeline's residual
-4-core deficit at volume is box-typical for this thread shape — on a
-real cluster, executor JVM threads and Python workers are provisioned
-separate cores and the knee does not exist.
+The r4 version did numpy matmuls per batch — compute-bound Python,
+and it scaled 0.997 at 20M rows: CPU-bound work scales cleanly here,
+so that control only falsified "4 threads can't run at 4x". This rev
+matches what the stanza stage actually does per row: build Python
+dicts/tuples from strings, append to lists, assemble object-dtype
+DataFrames — small-allocation churn + memory-bandwidth traffic, the
+profile glibc's allocator and the shared LLC actually see. If THIS
+control erodes at 4 cores as volume doubles the way the pipeline
+does, the erosion is box thread-shape, not pipeline structure — on a
+real cluster, N vs 4N EXECUTORS have separate cores, caches, and
+allocator arenas, so the knee does not exist.
+
+Structure per trial: spark.range → md5 payload → repartition(64) →
+sortWithinPartitions → mapInPandas(string/dict churn) → count, at 1
+vs 4 cores, interleaved pairs.
 
 Usage: python tools/bench_knee_control.py [n_rows] [pairs]
 Appends to BENCH/knee_control.jsonl.
@@ -34,7 +40,7 @@ import json, sys, time
 sys.path.insert(0, "{repo}")
 from ldtab_clj_spark.session import get_spark
 from pyspark.sql import functions as F
-import pandas as pd, numpy as np
+import pandas as pd
 
 spark = get_spark("knee", master="local[{cores}]",
                   shuffle_partitions=64,
@@ -44,26 +50,37 @@ spark = get_spark("knee", master="local[{cores}]",
 def job(n):
     df = (spark.range(n)
           .withColumn("k", F.xxhash64("id"))
-          .withColumn("payload", F.repeat(F.md5(F.col("id")
-                                                .cast("string")), 8)))
+          .withColumn("payload",
+                      F.concat_ws("-", F.md5(F.col("id").cast("string")),
+                                  F.md5(F.concat(F.col("id").cast("string"),
+                                                 F.lit("x"))))))
     part = df.repartition(64, "k").sortWithinPartitions("k")
-    def work(batches):
-        w = np.eye(64) * 1.0000001
-        for pdf in batches:
-            a = np.frombuffer("".join(pdf["payload"]).encode(),
-                              dtype=np.uint8).astype(np.float64)
-            m = a[: (len(a) // 64) * 64].reshape(-1, 64)
-            for _ in range(12):   # python-side weight ~ thick stage's
-                m = m @ w
-            yield pd.DataFrame({{"s": [float(m.sum())]}})
-    return part.mapInPandas(work, "s double").agg(
-        F.sum("s").alias("t"))
 
-job(50_000).collect()   # warm
+    def work(batches):
+        # stanza-shaped churn: per row, split a string, build a dict,
+        # accumulate rows, emit object-dtype DataFrames in 20k blocks
+        out = []
+        for pdf in batches:
+            for k, payload in zip(pdf["k"].to_numpy(),
+                                  pdf["payload"].to_numpy()):
+                a, b = payload.split("-", 1)
+                out.append({"s": a + ":" + b[:8], "p": b[8:16],
+                            "o": a[:16] + b[16:24], "n": int(k) & 1023}
+                           )
+                if len(out) >= 20_000:
+                    yield pd.DataFrame(
+                        out, columns=["s", "p", "o", "n"])
+                    out = []
+        if out:
+            yield pd.DataFrame(out, columns=["s", "p", "o", "n"])
+
+    return part.mapInPandas(work, "s string, p string, o string, n long")
+
+job(50_000).count()   # warm
 t0 = time.perf_counter()
-job({n_rows}).collect()
+rows = job({n_rows}).count()
 dt = time.perf_counter() - t0
-print(json.dumps({{"cores": {cores}, "sec": dt}}))
+print(json.dumps({{"cores": {cores}, "rows": int(rows), "sec": dt}}))
 """
 
 
@@ -84,7 +101,7 @@ def main() -> None:
         b = run_once(4, n_rows)
         eff = round((a["sec"] / b["sec"]) / 4, 3)
         effs.append(eff)
-        rec = {"n_rows": n_rows, "pair": i,
+        rec = {"n_rows": n_rows, "kind": "string-churn", "pair": i,
                "sec_1c": round(a["sec"], 2),
                "sec_4c": round(b["sec"], 2),
                "pair_eff": eff, "ts": int(time.time())}
