@@ -64,9 +64,9 @@ def job(n):
             for k, payload in zip(pdf["k"].to_numpy(),
                                   pdf["payload"].to_numpy()):
                 a, b = payload.split("-", 1)
-                out.append({"s": a + ":" + b[:8], "p": b[8:16],
-                            "o": a[:16] + b[16:24], "n": int(k) & 1023}
-                           )
+                out.append({{"s": a + ":" + b[:8], "p": b[8:16],
+                             "o": a[:16] + b[16:24],
+                             "n": int(k) & 1023}})
                 if len(out) >= 20_000:
                     yield pd.DataFrame(
                         out, columns=["s", "p", "o", "n"])
