@@ -54,16 +54,36 @@ spark.stop()
 """
 
 
-def parse_eventlog(evdir: Path) -> list[dict]:
-    """Aggregate per-stage metrics from the newest event log file."""
+def _event_lines(evdir: Path):
+    """Yield event-JSON lines from the newest log. Spark 4 writes
+    eventlog v2 as a DIRECTORY of events_* part files; v1 is a single
+    file — handle both."""
     logs = sorted(evdir.glob("*"), key=lambda p: p.stat().st_mtime)
+    newest = logs[-1]
+    parts = (sorted(newest.glob("events_*")) if newest.is_dir()
+             else [newest])
+    for p in parts:
+        if p.suffix == ".zstd":
+            # the session's io.compression.codec=zstd also compresses
+            # event logs; stream-decompress (files can be large)
+            import subprocess as sp
+            proc = sp.Popen(["zstd", "-dc", str(p)], stdout=sp.PIPE,
+                            text=True)
+            yield from proc.stdout
+            proc.wait()
+        else:
+            with p.open() as f:
+                yield from f
+
+
+def parse_eventlog(evdir: Path) -> list[dict]:
+    """Aggregate per-stage metrics from the newest event log."""
     stages: dict[int, dict] = defaultdict(lambda: {
         "task_sum": 0.0, "gc": 0.0, "shuf_write": 0.0,
         "fetch_wait": 0.0, "ser": 0.0, "deser": 0.0, "tasks": 0,
         "name": "", "submit": None, "complete": None,
         "in_rows": 0, "out_shuffle_mb": 0.0})
-    with logs[-1].open() as f:
-        for line in f:
+    for line in _event_lines(evdir):
             ev = json.loads(line)
             kind = ev.get("Event")
             if kind == "SparkListenerStageSubmitted":
