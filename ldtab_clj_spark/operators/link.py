@@ -8,10 +8,12 @@ object columns against a candidate dictionary:
   map-side-combinable aggregation);
 * **head** surfaces (hot, Zipf-favored) resolve via a broadcast hash
   join — zero shuffle for the skewed mass;
-* **tail** surfaces resolve via a salted shuffle join: the mention side
-  carries a deterministic salt, the dictionary side is exploded ×SALT,
-  so residual hot keys split across SALT reducers (plus AQE skew-join
-  as backstop).
+* **tail** surfaces resolve via a broadcast join while the dictionary
+  fits (`BROADCAST_TAIL_MAX_ROWS`), else a salted shuffle join: the
+  mention side carries a deterministic salt, the dictionary side is
+  exploded ×SALT, so residual hot keys split across SALT reducers
+  (plus AQE skew-join as backstop), and non-mention rows carry a
+  wide-range salt so null keys never pile on one reducer.
 
 Single-pass plan shape: every resolution is a LEFT join on the whole
 DataFrame (null join keys for non-mentions simply don't match), never a
@@ -25,6 +27,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT = 16
+
+# Tail dictionaries at or below this row count (pre-salt) resolve via
+# an explicit broadcast join instead of the salted shuffle join. A
+# curated entity dictionary is typically 1e5-1e7 surfaces — a few
+# hundred MB broadcast at most — while the fact side is the 100 TB
+# scan; broadcasting the dict removes a full shuffle of EVERY thin
+# row per resolved column. Above the cap (web-extracted dictionaries
+# can exceed 1e8) the salted shuffle join takes over. The explicit
+# guard exists because leaving the choice to AQE's runtime replan
+# proved nondeterministic at the threshold boundary: at 2M docs the
+# 1-core leg converted to broadcast while the 4-core leg kept the
+# shuffle, a ~94 s/leg plan asymmetry that polluted the scaling ratio
+# (BENCH/stage_decompose.jsonl, round 5).
+BROADCAST_TAIL_MAX_ROWS = 2_000_000
 
 
 def unlinked(surface_col):
@@ -46,10 +62,11 @@ def score_candidates(entity_dict: DataFrame) -> DataFrame:
 
 
 def _resolve_column(df: DataFrame, col: str, head: DataFrame,
-                    tail: DataFrame, guard) -> DataFrame:
+                    tail: DataFrame, guard,
+                    broadcast_tail: bool = False) -> DataFrame:
     """Resolve surface placeholders in one column via two left joins
-    (broadcast head, salted tail); non-mention rows ride along with
-    null keys."""
+    (broadcast head, then broadcast-or-salted tail); non-mention rows
+    ride along with null keys."""
     is_mention = guard & F.col(col).startswith("surface:")
     df = df.withColumn(
         "_surf", F.when(is_mention, F.substring(F.col(col), 9, 100000)))
@@ -58,18 +75,38 @@ def _resolve_column(df: DataFrame, col: str, head: DataFrame,
                          F.col("entity").alias("_head_ent"))
     df = df.join(F.broadcast(head_k), on="_surf", how="left")
 
-    # salt only rows still unresolved; null salt never matches
+    tail_k = tail.select(F.col("surface").alias("_surf"),
+                         F.col("entity").alias("_tail_ent"))
+    if broadcast_tail:
+        # small dict: broadcast, no salt needed (skew is a shuffle
+        # phenomenon), and the fact side never leaves its stage
+        df = df.join(F.broadcast(tail_k), on="_surf", how="left")
+        return _finish_column(df, col)
+
+    # big dict: salted shuffle join. Mention rows get a salt in
+    # [0, SALT) matching the exploded dictionary; NON-mention rows get
+    # a wide-range salt too — with a constant (null, null) key the
+    # ~90% of rows that are not tail mentions would all hash to ONE
+    # reducer of the (_surf, _salt) exchange, a guaranteed straggler
+    # at scale. A wide arbitrary salt spreads them evenly; they still
+    # match nothing (tail_k has non-null surfaces only).
     df = df.withColumn(
         "_salt",
         F.when(F.col("_surf").isNotNull() & F.col("_head_ent").isNull(),
                F.pmod(F.xxhash64("doc_id", "span_order", col),
-                      F.lit(SALT)).cast("int")))
-    tail_k = (tail.select(F.col("surface").alias("_surf"),
-                          F.col("entity").alias("_tail_ent"))
-              .withColumn("_salt", F.explode(
-                  F.array(*[F.lit(i) for i in range(SALT)]))))
-    df = df.join(tail_k, on=["_surf", "_salt"], how="left")
+                      F.lit(SALT)).cast("int"))
+        .otherwise(F.pmod(F.xxhash64("doc_id", "span_order"),
+                          F.lit(1 << 16)).cast("int")))
+    tail_salted = tail_k.withColumn("_salt", F.explode(
+        F.array(*[F.lit(i) for i in range(SALT)])))
+    df = df.join(tail_salted, on=["_surf", "_salt"], how="left")
+    return _finish_column(df, col)
 
+
+def _finish_column(df: DataFrame, col: str) -> DataFrame:
+    """Fold the join results back into ``col`` and drop the work
+    columns (``_salt`` is absent on the broadcast path; drop ignores
+    missing names)."""
     resolved = F.when(F.col("_surf").isNull(), F.col(col)) \
         .otherwise(F.coalesce(F.col("_head_ent"), F.col("_tail_ent"),
                               unlinked(F.col("_surf"))))
@@ -85,9 +122,15 @@ def link_entities(thin: DataFrame, entity_dict: DataFrame) -> DataFrame:
     winners = score_candidates(entity_dict).localCheckpoint()
     head = winners.filter("is_head").select("surface", "entity")
     tail = winners.filter("NOT is_head").select("surface", "entity")
-    out = _resolve_column(thin, "subject", head, tail, F.lit(True))
+    # the count is ~free (winners is already materialized) and buys a
+    # DETERMINISTIC plan: both scaling legs take the same join
+    # strategy instead of straddling AQE's runtime-replan threshold
+    bcast = tail.count() <= BROADCAST_TAIL_MAX_ROWS
+    out = _resolve_column(thin, "subject", head, tail, F.lit(True),
+                          broadcast_tail=bcast)
     # objects: only IRI-slot mentions (literal lexical forms that happen
     # to look like surfaces must stay literal)
     out = _resolve_column(out, "object", head, tail,
-                          F.col("datatype") == "_IRI")
+                          F.col("datatype") == "_IRI",
+                          broadcast_tail=bcast)
     return out

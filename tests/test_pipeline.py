@@ -237,6 +237,29 @@ def test_pipeline_invariant_to_partition_count(spark):
     assert stmts(2) == stmts(16)
 
 
+def test_link_broadcast_and_salted_paths_agree(spark):
+    """The tail-dictionary join has two physical strategies — explicit
+    broadcast (small dict, the sandbox default) and salted shuffle
+    join (the >BROADCAST_TAIL_MAX_ROWS fallback, the 100 TB path).
+    Both must resolve identically; the salted path otherwise has no
+    pipeline-default coverage."""
+    from unittest import mock
+
+    from ldtab_clj_spark.operators import link
+    from ldtab_clj_spark.synth import synth_docs
+
+    docs = synth_docs(spark, 100, seed=7)
+
+    def stmts():
+        df = build_statements(docs, entity_dictionary(spark))
+        return {row_key(r) for r in df.collect()}
+
+    broadcast = stmts()
+    with mock.patch.object(link, "BROADCAST_TAIL_MAX_ROWS", -1):
+        salted = stmts()
+    assert broadcast == salted and broadcast
+
+
 def test_pipeline_include_media_matches_single_node(spark):
     """The optional multimodal stage (include_media=True) unions
     ex:featureHash statements into the graph, and the distributed
