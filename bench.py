@@ -168,9 +168,15 @@ def main() -> None:
     to stdout either way; attempt chatter goes to stderr."""
     from ldtab_clj_spark.session import get_spark
 
+    # per-run conf overrides for controlled A/Bs (e.g. the r5
+    # lz4-vs-zstd suite duel) — same contract as the scaling
+    # harness's SPARK_SCALING_EXTRA_CONF
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    extra.update(json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF",
+                                           "{}")))
     spark = get_spark("ldtab-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 16),
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+                      extra_conf=extra)
     result = None
     for attempt in range(1, MAX_ATTEMPTS + 1):
         result = run_suite(spark)
