@@ -62,7 +62,10 @@ print(json.dumps({{"cores": {cores}, "rows": int(rows), "sec": dt,
 PARTS = 64
 
 
-TRIALS = 3  # best-of per core count (de-noise shared-box variance)
+# best-of per core count (de-noise shared-box variance); override via
+# env when a short clean-phase window only fits fewer pairs (per-pair
+# probes in the result row label exactly what each pair ran under)
+TRIALS = int(__import__("os").environ.get("SPARK_SCALING_TRIALS", "3"))
 
 
 def run_once(cores: int, n_docs: int) -> dict:
