@@ -89,6 +89,8 @@ def repeated_segment_stats(docs: DataFrame, text_col: str = "text",
     back — shuffle keys are hashes, never text; at 100 TB the
     boilerplate relation is small (only segments passing the
     threshold) and broadcasts."""
+    from .parallel import widen_partitions
+    docs = widen_partitions(docs.select("doc_id", text_col))
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     nseg = F.ceil(F.size(words) / seg_words).cast("int")
     seg = F.transform(
@@ -136,7 +138,14 @@ BAND_SIZE = 2
 
 def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct (doc_id, shingle) word-bigram shingles — all JVM-side
-    array ops (split → zip_with of adjacent slices), no Python."""
+    array ops (split → zip_with of adjacent slices), no Python.
+
+    The input is widened to core count first: the explode + per-shingle
+    md5 aggregations downstream are per-row-expensive, and a single-
+    row-group scan would otherwise run them on one task
+    (operators/parallel.py)."""
+    from .parallel import widen_partitions
+    docs = widen_partitions(docs.select("doc_id", text_col))
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     bigrams = F.zip_with(
         F.slice(words, 1, F.size(words) - 1),
@@ -251,17 +260,24 @@ def _simhash_arrow(docs: DataFrame, text_col: str) -> DataFrame:
                 out_sigs.append("".join(_HEX[v] for v in vals))
             yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
 
+    from .parallel import widen_partitions
     doc_type = dict(docs.dtypes)["doc_id"]
-    return docs.select("doc_id", text_col).mapInPandas(
+    return widen_partitions(docs.select("doc_id", text_col)).mapInPandas(
         sig, f"doc_id {doc_type}, simhash string")
 
 
 def _band_pairs(bands_df: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) → distinct candidate pairs (doc_a < doc_b)
-    via a bucket-key self-join. Both join sides are the SAME subplan, so
-    Spark reuses one shuffle exchange (ReusedExchange in the physical
-    plan) — the signature aggregation runs exactly once."""
-    a, b = bands_df.alias("a"), bands_df.alias("b")
+    via a bucket-key self-join. SHUFFLE_HASH-hinted: the planner's
+    broadcast choice wraps one side in a BroadcastExchange, which
+    defeats exchange reuse and recomputes the ENTIRE signature subplan
+    (shingle explode + aggregation) a second time — measured as the
+    duplicated SortAggregate/MapInPandas stanza in the r06 before-
+    plans. With both sides shuffled on (band, bucket) the two
+    subplans are identical and Spark reuses one exchange
+    (ReusedExchange), so signatures are computed exactly once; the
+    hash join also skips the sort-merge sorts."""
+    a, b = bands_df.alias("a"), bands_df.hint("shuffle_hash").alias("b")
     return (a.join(b, ["band", "bucket"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),

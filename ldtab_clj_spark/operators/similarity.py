@@ -40,7 +40,9 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     the similarity itself stays internal (floats don't hash stably
     across engines at the boundary, ranks do).
     """
-    corpus = with_norm(embeddings, vec_col).select(
+    from .parallel import widen_partitions
+    corpus = with_norm(widen_partitions(
+        embeddings.select("vec_id", vec_col)), vec_col).select(
         F.col("vec_id").alias("neighbor_id"), "_v", "_norm")
     qs = with_norm(queries, vec_col).select(
         F.col("vec_id").alias("query_id"),
@@ -184,9 +186,10 @@ def _srp_bands_arrow(embeddings: DataFrame, plane_tables,
                 "bucket": buckets.reshape(-1),
             })
 
-    src = embeddings.select("vec_id",
-                            _as_double(F.col(vec_col))
-                            .alias("embedding_d"))
+    from .parallel import widen_partitions
+    src = widen_partitions(
+        embeddings.select("vec_id",
+                          _as_double(F.col(vec_col)).alias("embedding_d")))
     return src.mapInPandas(bands, "vec_id long, tbl int, bucket long")
 
 
@@ -212,7 +215,9 @@ def srp_banded_near_dup(embeddings: DataFrame,
         raise ValueError(f"unknown srp mode {mode!r} "
                          "(use 'sql' or 'arrow')")
     else:
-        n = with_norm(embeddings, vec_col)
+        from .parallel import widen_partitions
+        n = with_norm(widen_partitions(
+            embeddings.select("vec_id", vec_col)), vec_col)
         structs = []
         for t, planes in enumerate(plane_tables):
             bits = []
@@ -231,13 +236,22 @@ def srp_banded_near_dup(embeddings: DataFrame,
     # dot product up to L times per pair AND drag the vectors through
     # the band shuffle; joining vectors back per UNIQUE pair is two
     # narrow hash joins instead
-    a, b = bands.alias("a"), bands.alias("b")
+    # SHUFFLE_HASH hint: a broadcast self-join would recompute the
+    # whole banding subplan (the numpy matmul MapInPandas, or the
+    # Catalyst fold explode) once per side; shuffling both sides on
+    # (tbl, bucket) makes the subplans identical so one exchange is
+    # computed and reused (ReusedExchange) — see _band_pairs in
+    # dedup.py for the measured duplication this removes
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
     cand = (a.join(b, ["tbl", "bucket"])
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"))
             .distinct())
-    vecs = with_norm(embeddings, vec_col).select("vec_id", "_v", "_norm")
+    from .parallel import widen_partitions
+    vecs = with_norm(widen_partitions(
+        embeddings.select("vec_id", vec_col)), vec_col) \
+        .select("vec_id", "_v", "_norm")
     va = vecs.select(F.col("vec_id").alias("vec_a"),
                      F.col("_v").alias("_va"),
                      F.col("_norm").alias("_na"))
@@ -416,7 +430,10 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
                                    vec_col)
     else:
         cent = _minid_centroids(embeddings, n_centroids, vec_col)
-    corpus = with_norm(embeddings, vec_col).select("vec_id", "_v", "_norm")
+    from .parallel import widen_partitions
+    corpus = with_norm(widen_partitions(
+        embeddings.select("vec_id", vec_col)), vec_col) \
+        .select("vec_id", "_v", "_norm")
     assigned = _assign_to_centroids(corpus, cent, mode=assign_mode)
     probes = (with_norm(queries, vec_col)
               .select(F.col("vec_id").alias("query_id"),
@@ -467,7 +484,9 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame,
     """Bucketed ANN: rank only candidates sharing the query's SRP
     bucket. Recall < 1 by design; at scale, multiple plane-sets (OR)
     trade shuffle for recall."""
-    corpus = srp_bucket(with_norm(embeddings, vec_col), planes, vec_col) \
+    from .parallel import widen_partitions
+    corpus = srp_bucket(with_norm(widen_partitions(
+        embeddings.select("vec_id", vec_col)), vec_col), planes, vec_col) \
         .select(F.col("vec_id").alias("neighbor_id"), "_v", "_norm",
                 "bucket")
     qs = srp_bucket(with_norm(queries, vec_col), planes, vec_col).select(

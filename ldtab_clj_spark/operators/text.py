@@ -97,6 +97,9 @@ def winnow_fingerprints(docs: DataFrame,
     distinct mins. Robust to insertions/reordering at the edges; the
     standard near-dup fingerprint at corpus scale."""
     from pyspark.sql import Window
+
+    from .parallel import widen_partitions
+    docs = widen_partitions(docs.select("doc_id", text_col))
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     bigrams = F.zip_with(
         F.slice(words, 1, F.size(words) - 1),
@@ -129,14 +132,20 @@ def term_stats(docs: DataFrame, text_col: str = "text",
     idf weighting all derive from it). Counts stay integers so the
     cross-engine oracle is exact; ln(N/df) weighting is one float
     expression away for consumers."""
-    words = docs.select(
+    from .parallel import widen_partitions
+    words = widen_partitions(docs.select("doc_id", text_col)).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                           r"[^a-z0-9]+")).alias("word")) \
         .filter(F.col("word") != "")
-    tf = (words.groupBy("doc_id", "word")
-          .agg(F.count("*").alias("tf"))
-          .filter(F.col("tf") >= min_tf))
-    df_ = (words.select("doc_id", "word").distinct()
-           .groupBy("word").agg(F.count("*").alias("df")))
+    # tf BEFORE the min_tf filter is exactly the distinct (doc, word)
+    # relation with its multiplicity, so df derives from it instead of
+    # a second explode + distinct over the corpus: one tokenization
+    # pass feeds both aggregates (the shared (doc_id, word) exchange
+    # is planned once and reused), and the df aggregation shuffles
+    # per-doc term rows, not per-occurrence rows
+    tf_all = words.groupBy("doc_id", "word").agg(
+        F.count("*").alias("tf"))
+    tf = tf_all.filter(F.col("tf") >= min_tf)
+    df_ = tf_all.groupBy("word").agg(F.count("*").alias("df"))
     return tf.join(df_, "word").select("doc_id", "word", "tf", "df")

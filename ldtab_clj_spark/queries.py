@@ -682,17 +682,23 @@ def kg_mention_extract_join(spark, sf):
     (broadcast here; shuffle hash join when the dictionary outgrows the
     broadcast threshold). Word-boundary semantics, unlike the
     containment scan."""
+    from .operators.parallel import widen_partitions
     vocab = spark.createDataFrame(
         [("spark",), ("join",), ("filter",), ("window",)], "word string")
-    d = load(spark, sf, "documents")
+    d = widen_partitions(
+        load(spark, sf, "documents").select("doc_id", "text"))
     words = (d.select("doc_id",
                       F.explode(F.split(F.lower(F.col("text")),
                                         r"[^a-z0-9]+")).alias("word"))
-             .filter(F.col("word") != "").distinct())
+             .filter(F.col("word") != ""))
     # no broadcast hint: the optimizer broadcasts under the threshold
     # and degrades to a shuffle join when the dictionary outgrows it —
-    # a forced hint would collect a multi-GB vocabulary to the driver
-    return (words.join(vocab, "word")
+    # a forced hint would collect a multi-GB vocabulary to the driver.
+    # The vocab join runs BEFORE the distinct: semantically identical
+    # (distinct-then-join == join-then-distinct for an inner equi-join
+    # on a distinct-keyed dim), but the distinct exchange then carries
+    # only dictionary hits instead of the whole tokenized corpus
+    return (words.join(vocab, "word").distinct()
             .select("doc_id", F.col("word").alias("entity"),
                     F.lit("ex:mentions").alias("predicate")))
 
