@@ -34,17 +34,35 @@ def diff_statements(old: DataFrame, new: DataFrame,
                     transaction_id: int) -> DataFrame:
     """Symmetric diff → history rows (diff.clj:18-47,82-93):
     additions carry assertion=T, retractions keep content with
-    retraction=T. Input: content-column DataFrames."""
-    added = (new.select(*CONTENT_COLS).exceptAll(old.select(*CONTENT_COLS))
-             .withColumn("assertion", F.lit(transaction_id).cast("long"))
-             .withColumn("retraction", F.lit(0).cast("long")))
-    retracted = (old.select(*CONTENT_COLS)
-                 .exceptAll(new.select(*CONTENT_COLS))
-                 .withColumn("assertion", F.lit(0).cast("long"))
-                 .withColumn("retraction",
-                             F.lit(transaction_id).cast("long")))
+    retraction=T. Input: content-column DataFrames.
+
+    One counted pass instead of two ``exceptAll``s: Spark expands each
+    exceptAll into its own union + count aggregate + replicate-
+    generate, so the former shape scanned both inputs twice and
+    shuffled twice. Tagging new rows +1 / old rows −1 and summing per
+    content row computes both directions of the multiset diff in a
+    single union + aggregate: a positive delta is that many additions
+    (new EXCEPT ALL old keeps max(n_new − n_old, 0) copies), a
+    negative delta that many retractions. Equivalence incl. duplicate
+    and null-annotation rows is pinned by
+    tests/test_thick.py::test_diff_statements_matches_exceptall."""
+    tagged = (new.select(*CONTENT_COLS).withColumn("_w", F.lit(1))
+              .unionByName(old.select(*CONTENT_COLS)
+                           .withColumn("_w", F.lit(-1))))
+    delta = (tagged.groupBy(*CONTENT_COLS)
+             .agg(F.sum("_w").alias("_d"))
+             .filter(F.col("_d") != 0))
+    rep = delta.select(
+        *CONTENT_COLS, "_d",
+        F.explode(F.sequence(F.lit(1), F.abs(F.col("_d")))).alias("_i"))
+    tid = F.lit(transaction_id).cast("long")
+    zero = F.lit(0).cast("long")
     cols = ["assertion", "retraction", *CONTENT_COLS]
-    return added.select(*cols).unionByName(retracted.select(*cols))
+    return (rep.withColumn("assertion",
+                           F.when(F.col("_d") > 0, tid).otherwise(zero))
+            .withColumn("retraction",
+                        F.when(F.col("_d") > 0, zero).otherwise(tid))
+            .select(*cols))
 
 
 def _null_safe_on(left: DataFrame, right: DataFrame, cols: list[str]):

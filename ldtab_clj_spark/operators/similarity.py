@@ -112,25 +112,57 @@ def srp_plane_tables(n_tables: int = 8, k_planes: int = 3,
             for t in range(n_tables)]
 
 
-def _pair_dot_udf():
-    """Arrow-vectorized pairwise dot product: Catalyst's higher-order
-    fold (_dot) is interpreted per element — fine for bucketing N rows,
-    too slow for millions of candidate PAIRS. numpy einsum is the
-    throughput path; the Catalyst fold stays the bit-exact oracle path
-    (tests pin that both agree on the corpus)."""
+def _list_matrix(col):
+    """Arrow list column → 2D float64 numpy matrix. Zero-copy reshape
+    of the flat values buffer when every row has the same width (the
+    fixed-dim embedding case) — np.stack over a million small per-row
+    ndarrays was the measured cost of the pandas_udf confirm path;
+    ragged input falls back to the per-row copy."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = col.offsets.to_numpy()
+    vals = col.values.to_numpy(zero_copy_only=False)
+    widths = off[1:] - off[:-1]
+    if len(widths) and (widths == widths[0]).all():
+        d = int(widths[0])
+        return (vals[off[0]:off[-1]]
+                .reshape(-1, d).astype(np.float64, copy=False))
+    return np.array([vals[a:b] for a, b in zip(off[:-1], off[1:])],
+                    dtype=np.float64)
 
-    def pair_dot(a, b):
-        return pd.Series(np.einsum("ij,ij->i",
-                                   np.stack(a.to_numpy()),
-                                   np.stack(b.to_numpy())))
-    # explicit annotations: `from __future__ import annotations` would
-    # stringify inline hints, which pandas_udf can't resolve
-    pair_dot.__annotations__ = {"a": pd.Series, "b": pd.Series,
-                                "return": pd.Series}
-    return pandas_udf(pair_dot, "double")
+
+def _confirm_pairs_arrow(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-cosine confirm of candidate pairs in one mapInArrow pass:
+    float32 vectors cross the boundary raw (half the Arrow bytes of
+    the former double-array transport; the float64 cast inside numpy
+    is exact, so sims are bit-identical), the einsum dot and the
+    dot/(na*nb) division reproduce the former JVM expression's IEEE
+    sequence, and only the surviving (vec_a, vec_b) ids return to the
+    JVM."""
+    import numpy as np
+    import pyarrow as pa
+
+    def confirm(batches):
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            names = rb.schema.names
+            va = _list_matrix(rb.column(names.index("_va")))
+            vb = _list_matrix(rb.column(names.index("_vb")))
+            na = rb.column(names.index("_na")).to_numpy(
+                zero_copy_only=False)
+            nb = rb.column(names.index("_nb")).to_numpy(
+                zero_copy_only=False)
+            sim = np.einsum("ij,ij->i", va, vb) / (na * nb)
+            keep = pa.array(sim >= threshold)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(names.index("vec_a")).filter(keep),
+                 rb.column(names.index("vec_b")).filter(keep)],
+                names=["vec_a", "vec_b"])
+
+    return pairs.mapInArrow(confirm, "vec_a long, vec_b long")
 
 
 def _pair_dot_seq_udf():
@@ -246,9 +278,43 @@ def srp_banded_near_dup(embeddings: DataFrame,
     cand = (a.join(b, ["tbl", "bucket"])
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"))
-            .distinct())
+                    F.col("b.vec_id").alias("vec_b")))
     from .parallel import widen_partitions
+    if mode == "arrow":
+        # throughput path: no pre-confirm distinct — at bench scale the
+        # table overlap is ~2%, so deduping candidates cost a full
+        # exchange plus two hash aggregates over the 7M-pair relation
+        # (its partial aggregate running on the SKEWED bucket-join
+        # output) to avoid 2% of re-confirms. A pair-keyed hash
+        # repartition of the narrow id pairs spreads the hot buckets
+        # with a pure exchange instead (measured 8.1 s vs 10.3 s for
+        # distinct-then-confirm, A/B'd in one session), vectors attach
+        # to the even partitions, and the terminal distinct keeps the
+        # exact set semantics (it must exist anyway for duplicate
+        # input ids). The width is PINNED (explicit N): the confirm's
+        # cost is per-row Python, and AQE's byte-based coalescing
+        # would shrink the ~16-byte-per-row relation to a couple of
+        # tasks (the round-5 stanza-stage lesson). Vectors cross Arrow
+        # as raw float32 (exact cast to float64 in numpy) and only
+        # surviving ids come back.
+        sc = embeddings.sparkSession.sparkContext
+        cand = cand.repartition(sc.defaultParallelism, "vec_a", "vec_b")
+        vecs = with_norm(widen_partitions(
+            embeddings.select("vec_id", vec_col)), vec_col) \
+            .select("vec_id", F.col(vec_col).alias("_raw"), "_norm")
+        va = vecs.select(F.col("vec_id").alias("vec_a"),
+                         F.col("_raw").alias("_va"),
+                         F.col("_norm").alias("_na"))
+        vb = vecs.select(F.col("vec_id").alias("vec_b"),
+                         F.col("_raw").alias("_vb"),
+                         F.col("_norm").alias("_nb"))
+        pairs = (cand.join(va, "vec_a").join(vb, "vec_b")
+                 .select("vec_a", "vec_b", "_va", "_vb", "_na", "_nb"))
+        return _confirm_pairs_arrow(pairs, threshold).distinct()
+    # oracle path: candidates deduped BEFORE the exact confirm (the
+    # interpreted fold is expensive per pair), vectors joined back per
+    # unique pair as double arrays, sim in pure Catalyst expressions
+    cand = cand.distinct()
     vecs = with_norm(widen_partitions(
         embeddings.select("vec_id", vec_col)), vec_col) \
         .select("vec_id", "_v", "_norm")
@@ -259,13 +325,8 @@ def srp_banded_near_dup(embeddings: DataFrame,
                      F.col("_v").alias("_vb"),
                      F.col("_norm").alias("_nb"))
     pairs = cand.join(va, "vec_a").join(vb, "vec_b")
-    # same sim formula both ways (dot / (na*nb)); arrow replaces only
-    # the interpreted fold with a vectorized numpy dot
-    if mode == "arrow":
-        dot = _pair_dot_udf()(F.col("_va"), F.col("_vb"))
-    else:
-        dot = _dot(F.col("_va"), F.col("_vb"))
-    sim = dot / (F.col("_na") * F.col("_nb"))
+    sim = _dot(F.col("_va"), F.col("_vb")) \
+        / (F.col("_na") * F.col("_nb"))
     # terminal distinct: duplicate vec_ids in the INPUT (un-deduped
     # appends) would otherwise multiply pairs through the vector joins
     return (pairs.withColumn("sim", sim)
@@ -354,16 +415,25 @@ def _assign_to_centroids(corpus: DataFrame, cent: DataFrame,
     # (= lowest cent_id). Linear expression tree — a chained
     # when(best, cand) would duplicate `best` per level (exponential
     # blowup, measured as a driver OOM at 16 centroids × 64 dims).
-    cands = F.array(*[
-        F.struct(
-            (_dot(F.col("_v"), F.array(*[F.lit(float(x))
-                                         for x in r["_c"]]))
-             / (F.col("_norm") * F.lit(float(r["_cnorm"]))))
-            .alias("csim"),
-            F.lit(-int(r["cent_id"])).alias("neg"))
-        for r in cent_rows])
-    return (corpus.withColumn("cent_id", -F.array_max(cands)["neg"])
-            .select("vec_id", "_v", "_norm", "cent_id"))
+    # The whole expression is rendered as ONE SQL string and parsed
+    # JVM-side: building it from n_centroids × dim F.lit() Column
+    # objects cost ~1 s of py4j round trips per query construction
+    # (r06 measurement) for the identical Catalyst tree; repr() of a
+    # Python float round-trips the exact double, so every literal is
+    # bit-identical to the former F.lit(float(x)).
+    def dot_sql(vec, coeffs):
+        arr = ",".join(f"{float(x)!r}D" for x in coeffs)
+        return (f"aggregate(zip_with({vec}, array({arr}), "
+                "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+
+    cands_sql = "array(" + ",".join(
+        f"named_struct('csim', {dot_sql('_v', r['_c'])} / "
+        f"(_norm * {float(r['_cnorm'])!r}D), "
+        f"'neg', {-int(r['cent_id'])})"
+        for r in cent_rows) + ")"
+    return (corpus.withColumn(
+        "cent_id", -F.expr(f"array_max({cands_sql})")["neg"])
+        .select("vec_id", "_v", "_norm", "cent_id"))
 
 
 def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,

@@ -151,7 +151,11 @@ def so1_union_dedup(spark, sf):
 
 
 def so4_symmetric_diff(spark, sf):
-    """SO4/J7: diff of two statement sets via exceptAll both ways."""
+    """SO4/J7: diff of two statement sets via exceptAll both ways.
+    (A single counted-union pass was A/B'd in r06 and measured
+    SLOWER here — the two independent exceptAll subtrees schedule
+    concurrently over the narrow key, diff.py keeps the counted form
+    for wide content rows where the aggregate dominates.)"""
     o = load(spark, sf, "orders").select("o_orderkey")
     v1 = o.filter(F.col("o_orderkey") % 3 < 2)
     v2 = o.filter(F.col("o_orderkey") % 3 > 0)
@@ -206,15 +210,26 @@ def tpch_q1(spark, sf):
 
 
 def tpch_q3(spark, sf):
+    """Lineitem is PRE-AGGREGATED to per-orderkey revenue cents before
+    any join: the group key (o_orderkey, o_orderdate) is one row per
+    orderkey anyway (o_orderdate is functionally dependent), so
+    summing the exact integer cents first is value-identical while the
+    join then moves 1 aggregated row per order instead of every
+    lineitem row (map-side combinable, guide §2.3 'aggregate before
+    you shuffle'). DuckDB-verified row-identical at sf0.1."""
     c = load(spark, sf, "customer").filter(
         F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf, "orders").filter(
         F.col("o_orderdate") < "1998-03-15")
-    li = load(spark, sf, "lineitem")
+    li_rev = (load(spark, sf, "lineitem")
+              .groupBy("l_orderkey")
+              .agg(F.sum(_cents("l_extendedprice")
+                         * (100 - _cents("l_discount").cast("long")))
+                   .alias("_cents")))
     return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-            .groupBy("o_orderkey", "o_orderdate")
-            .agg(_revenue_sum()))
+            .join(li_rev, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select("o_orderkey", "o_orderdate",
+                    (F.col("_cents") / 10000.0).alias("revenue")))
 
 
 def tpch_q5(spark, sf):
@@ -468,23 +483,35 @@ def tpch_q2(spark, sf):
     pair so the LIMIT cut is deterministic across engines."""
     for t in ("lineitem", "part", "supplier", "nation"):
         load(spark, sf, t).createOrReplaceTempView(f"q2_{t}")
+    # The correlated scalar subquery is rewritten as an explicit
+    # per-part min join: Catalyst's decorrelation planned TWO full
+    # lineitem aggregations (outer cost + subquery re-aggregation);
+    # deriving `best` FROM cost makes the second a cheap rollup of the
+    # first, and identical subplans share one exchange. The oracle
+    # keeps the correlated form; DuckDB-verified row-identical at
+    # sf0.1 (ties keep ALL matching suppliers either way, and the
+    # ORDER BY ends in the unique (p_partkey, s_suppkey) pair so the
+    # LIMIT cut is deterministic).
     return spark.sql("""
         WITH cost AS (
           SELECT l_partkey AS partkey, l_suppkey AS suppkey,
                  min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
                    AS cost_cents
-          FROM q2_lineitem GROUP BY l_partkey, l_suppkey)
+          FROM q2_lineitem GROUP BY l_partkey, l_suppkey),
+        best AS (
+          SELECT partkey, min(cost_cents) AS best_cents
+          FROM cost GROUP BY partkey)
         SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
                -- 100.0 would parse as DECIMAL in Spark SQL (decimal
                -- division -> pandas object dtype); force double
                c.cost_cents / CAST(100 AS DOUBLE) AS supply_cost
         FROM q2_part p
         JOIN cost c ON p.p_partkey = c.partkey
+        JOIN best b ON c.partkey = b.partkey
+                   AND c.cost_cents = b.best_cents
         JOIN q2_supplier s ON c.suppkey = s.s_suppkey
         JOIN q2_nation n ON s.s_nationkey = n.n_nationkey
         WHERE p.p_type = 'SMALL' AND p.p_size < 10
-          AND c.cost_cents = (SELECT min(c2.cost_cents) FROM cost c2
-                              WHERE c2.partkey = p.p_partkey)
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
         LIMIT 100""")
 
@@ -582,19 +609,33 @@ def tpch_q21(spark, sf):
     an anti-join."""
     for t in ("lineitem", "supplier", "orders"):
         load(spark, sf, t).createOrReplaceTempView(f"q21_{t}")
+    # The two correlated subqueries (semi + anti join of lineitem with
+    # itself — two full shuffles of the fact table) are rewritten as
+    # ONE per-order min/max aggregate: given l1 is an 'R' line of its
+    # order, EXISTS(other-supplier line) ⟺ the order has ≥2 distinct
+    # suppliers ⟺ min(supp) <> max(supp), and NOT EXISTS(
+    # other-supplier 'R' line) ⟺ every 'R' line shares one supplier ⟺
+    # min(R-supp) = max(R-supp). min/max are map-side combinable (no
+    # count-distinct Expand), so lineitem is scanned twice and
+    # shuffled once as 4-column aggregates instead of three times as
+    # rows. The oracle keeps the EXISTS form; DuckDB-verified
+    # row-identical at sf0.1.
     return spark.sql("""
+        WITH po AS (
+          SELECT l_orderkey AS po_orderkey,
+                 min(l_suppkey) AS mn, max(l_suppkey) AS mx,
+                 min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+                   AS mnr,
+                 max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+                   AS mxr
+          FROM q21_lineitem GROUP BY l_orderkey)
         SELECT s_name, count(*) AS numwait
         FROM q21_lineitem l1
         JOIN q21_supplier ON l1.l_suppkey = s_suppkey
         JOIN q21_orders ON l1.l_orderkey = o_orderkey
+        JOIN po ON l1.l_orderkey = po_orderkey
         WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
-          AND EXISTS (SELECT 1 FROM q21_lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_returnflag = 'R')
+          AND mn <> mx AND mnr = mxr
         GROUP BY s_name
         ORDER BY numwait DESC, s_name""")
 

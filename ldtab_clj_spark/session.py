@@ -92,6 +92,19 @@ def get_spark(app_name: str = "ldtab_clj_spark",
         # SPARK_DRIVER_MEMORY for large-shuffle jobs
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # -Xms=driver memory + AlwaysPreTouch: fault the whole heap in
+        # at JVM start instead of lazily during the first queries that
+        # grow it. On a healthy box this costs ~1 s once; in the
+        # first-touch-collapsed host phase (BENCH/README: fault_gbps
+        # ~0.1 vs ~10 clean) lazy heap growth otherwise lands INSIDE
+        # timed queries as multi-second page-fault storms — the same
+        # mitigation bench_scaling.py has used since round 5, now on
+        # every session so bench.py draws stabilize too
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_DRIVER_JAVA_OPTS",
+                               "-Xms" + os.environ.get(
+                                   "SPARK_DRIVER_MEMORY", "8g")
+                               + " -XX:+AlwaysPreTouch"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

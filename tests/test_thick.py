@@ -391,3 +391,49 @@ def test_deep_non_list_nesting_still_guarded():
                      "is_blank_s": True, "is_blank_o": True})
     with pytest.raises(ValueError, match="nesting exceeds"):
         thin_to_thick(thin)
+
+
+def test_diff_statements_matches_exceptall(spark):
+    """The counted single-pass diff_statements must be multiset-
+    identical to the two-exceptAll form it replaced (r06 shuffle
+    optimization) — including duplicate rows, rows only differing in
+    annotation, and null annotations."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ldtab_clj_spark.operators.diff import (CONTENT_COLS,
+                                                diff_statements)
+    from ldtab_clj_spark.schemas import STATEMENT
+
+    rng = random.Random(7)
+
+    def rows(n):
+        out = []
+        for _ in range(n):
+            out.append((1, 0, "graph", f"ex:s{rng.randrange(8)}",
+                        "ex:p", f"o{rng.randrange(4)}", "xsd:string",
+                        rng.choice([None, '{"a":1}'])))
+        return out
+
+    old = spark.createDataFrame(rows(60), STATEMENT)
+    new = spark.createDataFrame(rows(60), STATEMENT)
+    got = diff_statements(old, new, transaction_id=5)
+
+    o, n = old.select(*CONTENT_COLS), new.select(*CONTENT_COLS)
+    added = (n.exceptAll(o)
+             .withColumn("assertion", F.lit(5).cast("long"))
+             .withColumn("retraction", F.lit(0).cast("long")))
+    retracted = (o.exceptAll(n)
+                 .withColumn("assertion", F.lit(0).cast("long"))
+                 .withColumn("retraction", F.lit(5).cast("long")))
+    cols = ["assertion", "retraction", *CONTENT_COLS]
+    want = added.select(*cols).unionByName(retracted.select(*cols))
+
+    assert got.columns == cols
+
+    def norm(df):
+        return sorted((tuple("" if v is None else v for v in r)
+                       for r in df.collect()))
+
+    assert norm(got) == norm(want)
