@@ -157,18 +157,79 @@ def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
-                       n_hashes: int = N_MINHASH) -> DataFrame:
+                       n_hashes: int = N_MINHASH,
+                       mode: str = "sql") -> DataFrame:
     """Per-doc MinHash signature over bigram shingles:
     sig_i = min(md5(i || ':' || shingle)).
 
     A string-min MinHash — identical semantics to integer MinHash (any
     total order on a good hash works) and exactly reproducible in ANSI
-    SQL for the oracle.
+    SQL for the oracle. ``mode="sql"`` is that Catalyst form — the
+    right SHAPE, but min(string) buffers are not hash-aggregable, so
+    the signature aggregation runs as a SortAggregate over the full
+    shingle relation. ``mode="arrow"`` computes the identical
+    signatures in one hashlib pass per doc (bit parity pinned by
+    test_minhash_arrow_matches_sql) — the throughput path, same
+    pattern as the SimHash/SRP/IVF arrow twins.
     """
+    if mode == "arrow":
+        return _minhash_arrow(docs, text_col, n_hashes)
+    if mode != "sql":
+        raise ValueError(f"unknown minhash mode {mode!r} "
+                         "(use 'sql' or 'arrow')")
     shingles = doc_shingles(docs, text_col)
     aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
             .alias(f"sig{i}") for i in range(n_hashes)]
     return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_arrow(docs: DataFrame, text_col: str,
+                   n_hashes: int) -> DataFrame:
+    """hashlib MinHash — BIT-IDENTICAL to the Catalyst form: same
+    bigram shingle set (tokenization parity rules as _simhash_arrow:
+    strip U+0020 only, ASCII-\\s split keeping empty tokens), same
+    md5('i:' || shingle) families, and the min over DIGEST BYTES
+    equals the min over lowercase-hex strings (both are the md5
+    value's lexicographic byte order). Docs with no bigram emit no
+    row, exactly like the empty groupBy group."""
+    import hashlib
+
+    import pandas as pd
+
+    _ws = re.compile("[ \t\n\x0b\f\r]+")
+    prefixes = [f"{i}:".encode() for i in range(n_hashes)]
+    sig_cols = [f"sig{i}" for i in range(n_hashes)]
+
+    def sig(batches):
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if text is None:
+                    continue
+                words = _ws.split(text.strip(" "))
+                if len(words) < 2:
+                    continue
+                shingles = {f"{a} {b}".encode("utf-8")
+                            for a, b in zip(words, words[1:])}
+                mins = [None] * n_hashes
+                for s in shingles:
+                    for i, p in enumerate(prefixes):
+                        d = hashlib.md5(p + s).digest()
+                        if mins[i] is None or d < mins[i]:
+                            mins[i] = d
+                out_ids.append(doc_id)
+                out_sigs.append([m.hex() for m in mins])
+            yield pd.DataFrame(
+                {"doc_id": out_ids,
+                 **{c: [s[i] for s in out_sigs]
+                    for i, c in enumerate(sig_cols)}})
+
+    from .parallel import widen_partitions
+    doc_type = dict(docs.dtypes)["doc_id"]
+    schema = f"doc_id {doc_type}, " + ", ".join(
+        f"{c} string" for c in sig_cols)
+    return widen_partitions(docs.select("doc_id", text_col)).mapInPandas(
+        sig, schema)
 
 
 _HEX = "0123456789abcdef"
@@ -315,14 +376,16 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       n_hashes: int = N_MINHASH,
-                      band_size: int = BAND_SIZE) -> DataFrame:
+                      band_size: int = BAND_SIZE,
+                      mode: str = "sql") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band
     (band = concat of ``band_size`` adjacent signature slots).
     Shuffles on band keys only — never all-pairs. The per-band bucket
     ids are built as one array-of-structs on the aggregated signature
     row and exploded in a single Generate (one aggregation pass, was
-    one per band via union)."""
-    sigs = minhash_signatures(docs, text_col, n_hashes)
+    one per band via union). ``mode`` selects the signature path
+    (see minhash_signatures); banding and pairing stay identical."""
+    sigs = minhash_signatures(docs, text_col, n_hashes, mode=mode)
     n_bands = n_hashes // band_size
     band_arr = F.array(*[
         F.struct(F.lit(bi).alias("band"),

@@ -137,3 +137,40 @@ def test_near_dup_clusters_known_graph(spark):
     got = {(r.doc_id, r.cluster)
            for r in near_dup_clusters(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+
+
+def test_minhash_arrow_matches_sql(spark):
+    """mode="arrow" (hashlib min-digest) must be bit-identical to the
+    Catalyst md5-min oracle form — same bigram shingle set, same
+    md5('i:' || shingle) families, min over digest bytes == min over
+    hex strings."""
+    from ldtab_clj_spark.operators.dedup import (minhash_lsh_pairs,
+                                                 minhash_signatures)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sql = {tuple(r) for r in
+           minhash_signatures(docs, mode="sql").collect()}
+    arrow = {tuple(r) for r in
+             minhash_signatures(docs, mode="arrow").collect()}
+    assert sql == arrow and sql
+    # downstream pairs identical too (banding is shared JVM code)
+    p_sql = {tuple(r) for r in
+             minhash_lsh_pairs(docs, mode="sql").collect()}
+    p_arrow = {tuple(r) for r in
+               minhash_lsh_pairs(docs, mode="arrow").collect()}
+    assert p_sql == p_arrow
+    # whitespace-edge corpus (the _simhash_arrow tokenization-parity
+    # rules): tabs / newlines / NBSP / NULL / empty / single word
+    edge = spark.createDataFrame(
+        [(1, "\tfoo bar"), (2, "foo\n"), (3, "a b"),
+         (4, None), (5, "x \t y\r\nz"), (6, "  padded  "),
+         (7, ""), (8, "one")],
+        "doc_id long, text string")
+    sql_e = {tuple(r) for r in
+             minhash_signatures(edge, mode="sql").collect()}
+    arrow_e = {tuple(r) for r in
+               minhash_signatures(edge, mode="arrow").collect()}
+    assert sql_e == arrow_e, (sorted(sql_e - arrow_e),
+                              sorted(arrow_e - sql_e))
+    import pytest
+    with pytest.raises(ValueError, match="unknown minhash mode"):
+        minhash_signatures(edge, mode="numpy")
