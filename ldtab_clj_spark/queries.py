@@ -512,7 +512,14 @@ def tpch_q2(spark, sf):
         best AS (
           SELECT partkey, min(cost_cents) AS best_cents
           FROM cost GROUP BY partkey)
-        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        -- BROADCAST(b): `best` is one (partkey, cents) pair per part —
+        -- dim-table sized — but its size ESTIMATE derives from the
+        -- cost aggregate and lands above the auto threshold, which
+        -- planned a sort-merge join sorting all of cost (measured
+        -- 2.5 s -> 4.8 s when the 16 MB cap landed); the hint keeps
+        -- the cost side unshuffled
+        SELECT /*+ BROADCAST(b) */
+               s_acctbal, s_name, n_name, p_partkey, p_name,
                -- 100.0 would parse as DECIMAL in Spark SQL (decimal
                -- division -> pandas object dtype); force double
                c.cost_cents / CAST(100 AS DOUBLE) AS supply_cost

@@ -82,7 +82,18 @@ def get_spark(app_name: str = "ldtab_clj_spark",
         .config("spark.io.compression.codec", "zstd")
         # sane scan granularity for the 100 TB case: 128 MB splits
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB auto-broadcast cap (was 64 MB): a parquet-size estimate
+        # near 64 MB is a multi-million-row relation whose broadcast
+        # build is serial driver+executor work and whose hash relation
+        # lands on every executor — at sf1.0 the 26 MB orders table was
+        # being broadcast into q3/q4/q5/q18/q21, measured 1.5-2x slower
+        # than the shuffled hash join the cap now yields (r06 sweep:
+        # q3 3.30→1.48 s, q4 1.81→0.96 s). True dims (nation, region,
+        # supplier, prefix/centroid tables) stay far under 16 MB at any
+        # SF, and explicit F.broadcast hints are unaffected.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_BROADCAST_THRESHOLD",
+                               str(16 * 1024 * 1024)))
         # heap is WORKLOAD-dependent, measured both ways: 8g wins the
         # local[32] query suite (16g doubled bench.py 32s -> 63s —
         # same shape as r3's rejected 24g trial: long G1 pauses across
