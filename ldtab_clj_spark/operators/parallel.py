@@ -25,11 +25,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def widen_partitions(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ``df`` to the session's default
-    parallelism when (and only when) the current plan has fewer
-    partitions — a no-op on inputs that are already wide."""
+def widen_partitions(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition ``df`` to the session's default parallelism when
+    (and only when) the current plan has fewer partitions — a no-op on
+    inputs that are already wide. With ``keys``, the exchange is
+    hash-partitioned on them instead of round-robin: a downstream
+    aggregation/window keyed the same way is then already satisfied,
+    so the widen MOVES that exchange below the per-row-expensive
+    segment rather than adding one."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target)
+    return df.repartition(target, *keys) if keys \
+        else df.repartition(target)
