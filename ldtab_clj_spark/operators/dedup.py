@@ -90,7 +90,8 @@ def repeated_segment_stats(docs: DataFrame, text_col: str = "text",
     boilerplate relation is small (only segments passing the
     threshold) and broadcasts."""
     from .parallel import widen_partitions
-    docs = widen_partitions(docs.select("doc_id", text_col))
+    docs = widen_partitions(docs.select("doc_id", text_col),
+                            min_bytes=0)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     nseg = F.ceil(F.size(words) / seg_words).cast("int")
     seg = F.transform(
@@ -145,7 +146,8 @@ def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     row-group scan would otherwise run them on one task
     (operators/parallel.py)."""
     from .parallel import widen_partitions
-    docs = widen_partitions(docs.select("doc_id", text_col))
+    docs = widen_partitions(docs.select("doc_id", text_col),
+                            min_bytes=0)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     bigrams = F.zip_with(
         F.slice(words, 1, F.size(words) - 1),
@@ -228,7 +230,8 @@ def _minhash_arrow(docs: DataFrame, text_col: str,
     doc_type = dict(docs.dtypes)["doc_id"]
     schema = f"doc_id {doc_type}, " + ", ".join(
         f"{c} string" for c in sig_cols)
-    return widen_partitions(docs.select("doc_id", text_col)).mapInPandas(
+    return widen_partitions(docs.select("doc_id", text_col),
+                            min_bytes=0).mapInPandas(
         sig, schema)
 
 
@@ -323,21 +326,22 @@ def _simhash_arrow(docs: DataFrame, text_col: str) -> DataFrame:
 
     from .parallel import widen_partitions
     doc_type = dict(docs.dtypes)["doc_id"]
-    return widen_partitions(docs.select("doc_id", text_col)).mapInPandas(
+    return widen_partitions(docs.select("doc_id", text_col),
+                            min_bytes=0).mapInPandas(
         sig, f"doc_id {doc_type}, simhash string")
 
 
 def _band_pairs(bands_df: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) → distinct candidate pairs (doc_a < doc_b)
     via a bucket-key self-join. SHUFFLE_HASH-hinted: the planner's
-    broadcast choice wraps one side in a BroadcastExchange, which
-    defeats exchange reuse and recomputes the ENTIRE signature subplan
-    (shingle explode + aggregation) a second time — measured as the
-    duplicated SortAggregate/MapInPandas stanza in the r06 before-
-    plans. With both sides shuffled on (band, bucket) the two
-    subplans are identical and Spark reuses one exchange
-    (ReusedExchange), so signatures are computed exactly once; the
-    hash join also skips the sort-merge sorts."""
+    broadcast choice computed the ENTIRE signature subplan (shingle
+    explode + aggregation / MapInPandas) a second time for the build
+    side and then collected it through a serial BroadcastExchange
+    build — measured as the duplicated stanza in the r06 before-plans
+    and a 8.6→5.0 s drop for simhash when hinted. With both sides
+    shuffled on (band, bucket), the sides run as parallel shuffle
+    stages (and being identical subplans, exchange reuse can dedupe
+    them outright), and the hash join skips sort-merge sorts."""
     a, b = bands_df.alias("a"), bands_df.hint("shuffle_hash").alias("b")
     pairs = (a.join(b, ["band", "bucket"])
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -25,16 +25,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def widen_partitions(df: DataFrame, *keys: str) -> DataFrame:
+# Default size gate for MODERATE per-row cost (plain JVM expressions:
+# tokenize/window/agg): below ~1 MiB estimated, the serial
+# scan-to-exchange segment is cheaper than the extra stage barrier
+# (measured at sf0.1: widening term_stats REGRESSED 0.40→0.87 s)
+# while above it the serialized per-row work dominates (sf1.0: the
+# same widen won 1.72→1.03 s; the projected estimates straddle 1 MiB
+# exactly between those scales). Call sites whose downstream is
+# md5/Python-heavy pass min_bytes=0 — for them the per-row cost is
+# ~100× the bytes and widening wins even on sub-MB inputs (minhash at
+# sf0.1: 0.79 s widened vs 1.76 s not).
+MIN_WIDEN_BYTES = 1024 * 1024
+
+
+def widen_partitions(df: DataFrame, *keys: str,
+                     min_bytes: int = MIN_WIDEN_BYTES) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism when
-    (and only when) the current plan has fewer partitions — a no-op on
-    inputs that are already wide. With ``keys``, the exchange is
-    hash-partitioned on them instead of round-robin: a downstream
-    aggregation/window keyed the same way is then already satisfied,
-    so the widen MOVES that exchange below the per-row-expensive
-    segment rather than adding one."""
+    (and only when) the current plan has fewer partitions AND its size
+    estimate is at least ``min_bytes`` — a no-op on inputs that are
+    already wide, and (for the default gate) on inputs too small for
+    the serial segment to outweigh one stage barrier. With ``keys``,
+    the exchange is hash-partitioned on them instead of round-robin: a
+    downstream aggregation/window keyed the same way is then already
+    satisfied, so the widen MOVES that exchange below the
+    per-row-expensive segment rather than adding one."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if min_bytes:
+        try:
+            est = df._jdf.queryExecution().optimizedPlan().stats() \
+                .sizeInBytes()
+            if int(str(est)) < min_bytes:
+                return df
+        except Exception:
+            pass  # no estimate → assume big (the safe side at scale)
     return df.repartition(target, *keys) if keys \
         else df.repartition(target)

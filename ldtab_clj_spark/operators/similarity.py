@@ -42,7 +42,7 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     """
     from .parallel import widen_partitions
     corpus = with_norm(widen_partitions(
-        embeddings.select("vec_id", vec_col)), vec_col).select(
+        embeddings.select("vec_id", vec_col), min_bytes=0), vec_col).select(
         F.col("vec_id").alias("neighbor_id"), "_v", "_norm")
     qs = with_norm(queries, vec_col).select(
         F.col("vec_id").alias("query_id"),
@@ -166,7 +166,7 @@ def _confirm_pairs_arrow(pairs: DataFrame, threshold: float) -> DataFrame:
 
 
 def _pair_dot_seq_udf():
-    """Like _pair_dot_udf but accumulating dimension-by-dimension in
+    """Vectorized pair dot accumulating dimension-by-dimension in
     index order — BIT-identical to the Catalyst fold (einsum's blocked
     summation is only value-equal to the last ulp). Used where the
     arrow twin must preserve exact rank order, e.g. IVF probe scoring;
@@ -221,7 +221,8 @@ def _srp_bands_arrow(embeddings: DataFrame, plane_tables,
     from .parallel import widen_partitions
     src = widen_partitions(
         embeddings.select("vec_id",
-                          _as_double(F.col(vec_col)).alias("embedding_d")))
+                          _as_double(F.col(vec_col)).alias("embedding_d")),
+        min_bytes=0)
     return src.mapInPandas(bands, "vec_id long, tbl int, bucket long")
 
 
@@ -249,7 +250,7 @@ def srp_banded_near_dup(embeddings: DataFrame,
     else:
         from .parallel import widen_partitions
         n = with_norm(widen_partitions(
-            embeddings.select("vec_id", vec_col)), vec_col)
+            embeddings.select("vec_id", vec_col), min_bytes=0), vec_col)
         structs = []
         for t, planes in enumerate(plane_tables):
             bits = []
@@ -268,12 +269,12 @@ def srp_banded_near_dup(embeddings: DataFrame,
     # dot product up to L times per pair AND drag the vectors through
     # the band shuffle; joining vectors back per UNIQUE pair is two
     # narrow hash joins instead
-    # SHUFFLE_HASH hint: a broadcast self-join would recompute the
-    # whole banding subplan (the numpy matmul MapInPandas, or the
-    # Catalyst fold explode) once per side; shuffling both sides on
-    # (tbl, bucket) makes the subplans identical so one exchange is
-    # computed and reused (ReusedExchange) — see _band_pairs in
-    # dedup.py for the measured duplication this removes
+    # SHUFFLE_HASH hint: the broadcast self-join recomputed the whole
+    # banding subplan (the numpy matmul MapInPandas, or the Catalyst
+    # fold explode) for the build side and then serialized it through
+    # a driver-side broadcast build; shuffling both sides on
+    # (tbl, bucket) runs them as parallel shuffle stages instead —
+    # see _band_pairs in dedup.py for the measured win
     a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
     cand = (a.join(b, ["tbl", "bucket"])
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -300,7 +301,7 @@ def srp_banded_near_dup(embeddings: DataFrame,
         sc = embeddings.sparkSession.sparkContext
         cand = cand.repartition(sc.defaultParallelism, "vec_a", "vec_b")
         vecs = with_norm(widen_partitions(
-            embeddings.select("vec_id", vec_col)), vec_col) \
+            embeddings.select("vec_id", vec_col), min_bytes=0), vec_col) \
             .select("vec_id", F.col(vec_col).alias("_raw"), "_norm")
         va = vecs.select(F.col("vec_id").alias("vec_a"),
                          F.col("_raw").alias("_va"),
@@ -316,7 +317,7 @@ def srp_banded_near_dup(embeddings: DataFrame,
     # unique pair as double arrays, sim in pure Catalyst expressions
     cand = cand.distinct()
     vecs = with_norm(widen_partitions(
-        embeddings.select("vec_id", vec_col)), vec_col) \
+        embeddings.select("vec_id", vec_col), min_bytes=0), vec_col) \
         .select("vec_id", "_v", "_norm")
     va = vecs.select(F.col("vec_id").alias("vec_a"),
                      F.col("_v").alias("_va"),
@@ -502,7 +503,7 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame,
         cent = _minid_centroids(embeddings, n_centroids, vec_col)
     from .parallel import widen_partitions
     corpus = with_norm(widen_partitions(
-        embeddings.select("vec_id", vec_col)), vec_col) \
+        embeddings.select("vec_id", vec_col), min_bytes=0), vec_col) \
         .select("vec_id", "_v", "_norm")
     assigned = _assign_to_centroids(corpus, cent, mode=assign_mode)
     probes = (with_norm(queries, vec_col)
@@ -556,7 +557,7 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame,
     trade shuffle for recall."""
     from .parallel import widen_partitions
     corpus = srp_bucket(with_norm(widen_partitions(
-        embeddings.select("vec_id", vec_col)), vec_col), planes, vec_col) \
+        embeddings.select("vec_id", vec_col), min_bytes=0), vec_col), planes, vec_col) \
         .select(F.col("vec_id").alias("neighbor_id"), "_v", "_norm",
                 "bucket")
     qs = srp_bucket(with_norm(queries, vec_col), planes, vec_col).select(

@@ -99,7 +99,8 @@ def winnow_fingerprints(docs: DataFrame,
     from pyspark.sql import Window
 
     from .parallel import widen_partitions
-    docs = widen_partitions(docs.select("doc_id", text_col))
+    docs = widen_partitions(docs.select("doc_id", text_col),
+                            min_bytes=0)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     bigrams = F.zip_with(
         F.slice(words, 1, F.size(words) - 1),
