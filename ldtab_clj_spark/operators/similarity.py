@@ -112,57 +112,114 @@ def srp_plane_tables(n_tables: int = 8, k_planes: int = 3,
             for t in range(n_tables)]
 
 
-def _list_matrix(col):
-    """Arrow list column → 2D float64 numpy matrix. Zero-copy reshape
-    of the flat values buffer when every row has the same width (the
-    fixed-dim embedding case) — np.stack over a million small per-row
-    ndarrays was the measured cost of the pandas_udf confirm path;
-    ragged input falls back to the per-row copy."""
+def _srp_bands_with_vecs_arrow(embeddings: DataFrame, plane_tables,
+                               vec_col: str) -> DataFrame:
+    """(vec_id, tbl, bucket, _raw float32, _norm) in one numpy pass:
+    one numpy matmul per Arrow batch assigns the bucket bits, and
+    the RAW vector and its norm ride along so the per-bucket confirm
+    needs no vector join at all. The
+    norm accumulates dimension-by-dimension in index order — the exact
+    IEEE sequence of the JVM ``with_norm`` fold it replaces (pinned by
+    the arrow-vs-sql parity test). Vector transport is L copies per
+    vector on ONE (tbl, bucket) shuffle — linear in the corpus, vs the
+    former per-candidate-pair attach which was quadratic (measured
+    120 GB of confirm traffic at a 4× bench scale)."""
     import numpy as np
-    import pyarrow as pa
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    off = col.offsets.to_numpy()
-    vals = col.values.to_numpy(zero_copy_only=False)
-    widths = off[1:] - off[:-1]
-    if len(widths) and (widths == widths[0]).all():
-        d = int(widths[0])
-        return (vals[off[0]:off[-1]]
-                .reshape(-1, d).astype(np.float64, copy=False))
-    return np.array([vals[a:b] for a, b in zip(off[:-1], off[1:])],
-                    dtype=np.float64)
+    import pandas as pd
+    planes = np.array([p for t in plane_tables for p in t],
+                      dtype=np.float64)                    # (L*k, dim)
+    n_tables, k = len(plane_tables), len(plane_tables[0])
+    weights = (1 << np.arange(k)).astype(np.int64)
+
+    def bands(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = pdf[vec_col].to_numpy()
+            v = np.stack(raw).astype(np.float64)           # n × dim
+            bits = (v @ planes.T) >= 0                     # n × (L*k)
+            buckets = bits.reshape(len(pdf), n_tables, k) @ weights
+            nrm = np.zeros(len(pdf))
+            for d in range(v.shape[1]):    # fold-order accumulation
+                nrm += v[:, d] * v[:, d]
+            nrm = np.sqrt(nrm)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                "tbl": np.tile(np.arange(n_tables), len(pdf)),
+                "bucket": buckets.reshape(-1),
+                "_raw": np.repeat(raw, n_tables),
+                "_norm": np.repeat(nrm, n_tables),
+            })
+
+    from .parallel import widen_partitions
+    src = widen_partitions(embeddings.select("vec_id", vec_col),
+                           min_bytes=0)
+    return src.mapInPandas(
+        bands, "vec_id long, tbl int, bucket long, "
+               "_raw array<float>, _norm double")
 
 
-def _confirm_pairs_arrow(pairs: DataFrame, threshold: float) -> DataFrame:
-    """Exact-cosine confirm of candidate pairs in one mapInArrow pass:
-    float32 vectors cross the boundary raw (half the Arrow bytes of
-    the former double-array transport; the float64 cast inside numpy
-    is exact, so sims are bit-identical), the einsum dot and the
-    dot/(na*nb) division reproduce the former JVM expression's IEEE
-    sequence, and only the surviving (vec_a, vec_b) ids return to the
-    JVM."""
+def _confirm_bucket_stream(threshold: float):
+    """Streaming per-(tbl, bucket) exact-cosine confirm for
+    mapInPandas over a bucket-partitioned, bucket-sorted relation:
+    grouped_batches re-chunks the Arrow stream into frames of complete
+    ``_grp`` runs (one numpy slice per bucket — an applyInPandas
+    variant paid ~1 ms of Arrow framing per group, which at L×2^k ≈
+    2000 mostly-tiny buckets doubled the query at sf0.1), and every
+    bucket confirms all its pairs (lower vec_id first) vectorized.
+    The per-pair math is the SAME einsum/divide sequence as the former
+    pair-level confirm (float32 → exact float64 cast, einsum
+    'ij,ij->i' over row-gathered matrices, dot/(na*nb)), so sims are
+    bit-identical; only the transport changed. Pair generation is
+    chunked (CHUNK pairs per slab) so transient memory stays bounded
+    for hot buckets; the quadratic TIME of a giant bucket is inherent
+    to its candidate count."""
     import numpy as np
-    import pyarrow as pa
+    import pandas as pd
+
+    from .batching import grouped_batches
+    CHUNK = 262_144
+
+    def confirm_run(ids, V, nrm, out_a, out_b):
+        B = len(ids)
+        bs = max(1, CHUNK // B)
+        for i0 in range(0, B - 1, bs):
+            i1 = min(i0 + bs, B - 1)
+            r = np.arange(i0, i1)
+            counts = B - 1 - r
+            total = int(counts.sum())
+            ii = np.repeat(r, counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            jj = (np.arange(total) - np.repeat(starts, counts)
+                  + np.repeat(r + 1, counts))
+            sim = (np.einsum("ij,ij->i", V[ii], V[jj])
+                   / (nrm[ii] * nrm[jj]))
+            keep = sim >= threshold
+            ia, jb = ids[ii[keep]], ids[jj[keep]]
+            ne = ia != jb   # duplicate input ids never self-pair
+            out_a.append(np.minimum(ia[ne], jb[ne]))
+            out_b.append(np.maximum(ia[ne], jb[ne]))
 
     def confirm(batches):
-        for rb in batches:
-            if not rb.num_rows:
-                continue
-            names = rb.schema.names
-            va = _list_matrix(rb.column(names.index("_va")))
-            vb = _list_matrix(rb.column(names.index("_vb")))
-            na = rb.column(names.index("_na")).to_numpy(
-                zero_copy_only=False)
-            nb = rb.column(names.index("_nb")).to_numpy(
-                zero_copy_only=False)
-            sim = np.einsum("ij,ij->i", va, vb) / (na * nb)
-            keep = pa.array(sim >= threshold)
-            yield pa.RecordBatch.from_arrays(
-                [rb.column(names.index("vec_a")).filter(keep),
-                 rb.column(names.index("vec_b")).filter(keep)],
-                names=["vec_a", "vec_b"])
+        for pdf in grouped_batches(batches, "_grp"):
+            g = pdf["_grp"].to_numpy()
+            change = np.flatnonzero(g[1:] != g[:-1]) + 1
+            bounds = np.concatenate(([0], change, [len(g)]))
+            ids_all = pdf["vec_id"].to_numpy()
+            raw_all = pdf["_raw"].to_numpy()
+            nrm_all = pdf["_norm"].to_numpy()
+            out_a, out_b = [], []
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                if s1 - s0 < 2:
+                    continue
+                confirm_run(ids_all[s0:s1],
+                            np.stack(raw_all[s0:s1]).astype(np.float64),
+                            nrm_all[s0:s1], out_a, out_b)
+            if out_a:
+                yield pd.DataFrame({"vec_a": np.concatenate(out_a),
+                                    "vec_b": np.concatenate(out_b)})
 
-    return pairs.mapInArrow(confirm, "vec_a long, vec_b long")
+    return confirm
 
 
 def _pair_dot_seq_udf():
@@ -187,45 +244,6 @@ def _pair_dot_seq_udf():
     return pandas_udf(pair_dot, "double")
 
 
-def _srp_bands_arrow(embeddings: DataFrame, plane_tables,
-                     vec_col: str) -> DataFrame:
-    """(vec_id, _v, _norm, tbl, bucket) via ONE numpy matmul per Arrow
-    batch — the throughput path. The Catalyst form builds a fold
-    expression per plane (O(tables × planes × dim) literal tree):
-    bit-exact for the oracle but interpreted per element and expensive
-    to even ANALYZE at L×k=64. Sign flips from summation-order
-    differences can only nudge RECALL (candidates are exactly
-    confirmed downstream), never precision."""
-    import numpy as np
-    import pandas as pd
-    planes = np.array([p for t in plane_tables for p in t],
-                      dtype=np.float64)                    # (L*k, dim)
-    n_tables, k = len(plane_tables), len(plane_tables[0])
-    weights = (1 << np.arange(k)).astype(np.int64)
-
-    def bands(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.stack(pdf["embedding_d"].to_numpy())   # n × dim
-            bits = (v @ planes.T) >= 0                    # n × (L*k)
-            buckets = bits.reshape(len(pdf), n_tables, k) @ weights
-            # NARROW output only — vectors never cross Arrow here (the
-            # confirm stage joins them back per unique candidate pair)
-            yield pd.DataFrame({
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
-                "tbl": np.tile(np.arange(n_tables), len(pdf)),
-                "bucket": buckets.reshape(-1),
-            })
-
-    from .parallel import widen_partitions
-    src = widen_partitions(
-        embeddings.select("vec_id",
-                          _as_double(F.col(vec_col)).alias("embedding_d")),
-        min_bytes=0)
-    return src.mapInPandas(bands, "vec_id long, tbl int, bucket long")
-
-
 def srp_banded_near_dup(embeddings: DataFrame,
                         plane_tables: list[list[list[float]]],
                         threshold: float = 0.95,
@@ -243,79 +261,60 @@ def srp_banded_near_dup(embeddings: DataFrame,
     + vectorized pair confirm (the throughput path — same pairs on the
     corpus, pinned by tests)."""
     if mode == "arrow":
-        bands = _srp_bands_arrow(embeddings, plane_tables, vec_col)
-    elif mode != "sql":
+        # throughput path (restructured in r06 after a 4×-scale probe):
+        # the former shape generated candidate PAIRS in a JVM bucket
+        # self-join and re-attached both vectors per pair — transport
+        # quadratic in bucket occupancy (7M pairs / 3.6 GB at sf1.0;
+        # 115M pairs / ~120 GB at 4×, a 21× slowdown). Now the raw
+        # float32 vector + JVM-fold-order norm ride the ONE
+        # (tbl, bucket) shuffle (L copies per vector — linear), and
+        # each bucket confirms ALL its pairs inside one vectorized
+        # applyInPandas group: same einsum/divide bit sequence, only
+        # surviving id pairs ever materialize as rows. The terminal
+        # distinct collapses multi-table hits (and duplicate input
+        # ids) exactly as before.
+        bands_v = _srp_bands_with_vecs_arrow(embeddings, plane_tables,
+                                             vec_col)
+        sc = embeddings.sparkSession.sparkContext
+        part = (bands_v
+                .withColumn("_grp", F.concat_ws(":", "tbl", "bucket"))
+                .repartition(sc.defaultParallelism, "tbl", "bucket")
+                .sortWithinPartitions("_grp")
+                .select("_grp", "vec_id", "_raw", "_norm"))
+        return (part.mapInPandas(_confirm_bucket_stream(threshold),
+                                 "vec_a long, vec_b long")
+                .distinct())
+    if mode != "sql":
         raise ValueError(f"unknown srp mode {mode!r} "
                          "(use 'sql' or 'arrow')")
-    else:
-        from .parallel import widen_partitions
-        n = with_norm(widen_partitions(
-            embeddings.select("vec_id", vec_col), min_bytes=0), vec_col)
-        structs = []
-        for t, planes in enumerate(plane_tables):
-            bits = []
-            for p in planes:
-                arr = F.array(*[F.lit(float(x)) for x in p])
-                bits.append(F.when(_dot(F.col("_v"), arr) >= 0,
-                                   F.lit("1")).otherwise(F.lit("0")))
-            structs.append(F.struct(F.lit(t).alias("tbl"),
-                                    F.concat(*bits).alias("bucket")))
-        bands = (n.select("vec_id",
-                          F.explode(F.array(*structs)).alias("bb"))
-                 .select("vec_id", "bb.tbl", "bb.bucket"))
-    # candidate pairs from the NARROW band relation, deduped BEFORE the
-    # exact confirm: a true near-dup collides in several of the L
-    # tables, so confirming per (tbl, bucket) duplicate would run the
-    # dot product up to L times per pair AND drag the vectors through
-    # the band shuffle; joining vectors back per UNIQUE pair is two
-    # narrow hash joins instead
-    # SHUFFLE_HASH hint: the broadcast self-join recomputed the whole
-    # banding subplan (the numpy matmul MapInPandas, or the Catalyst
-    # fold explode) for the build side and then serialized it through
-    # a driver-side broadcast build; shuffling both sides on
-    # (tbl, bucket) runs them as parallel shuffle stages instead —
-    # see _band_pairs in dedup.py for the measured win
+    from .parallel import widen_partitions
+    n = with_norm(widen_partitions(
+        embeddings.select("vec_id", vec_col), min_bytes=0), vec_col)
+    structs = []
+    for t, planes in enumerate(plane_tables):
+        bits = []
+        for p in planes:
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            bits.append(F.when(_dot(F.col("_v"), arr) >= 0,
+                               F.lit("1")).otherwise(F.lit("0")))
+        structs.append(F.struct(F.lit(t).alias("tbl"),
+                                F.concat(*bits).alias("bucket")))
+    bands = (n.select("vec_id",
+                      F.explode(F.array(*structs)).alias("bb"))
+             .select("vec_id", "bb.tbl", "bb.bucket"))
+    # oracle path: candidate pairs from the NARROW band relation via a
+    # SHUFFLE_HASH self-join (the broadcast alternative recomputed the
+    # banding subplan for the build side and serialized it through a
+    # driver-side broadcast build — see _band_pairs in dedup.py),
+    # deduped BEFORE the exact confirm (the interpreted fold is
+    # expensive per pair), vectors joined back per unique pair as
+    # double arrays, sim in pure Catalyst expressions
     a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
     cand = (a.join(b, ["tbl", "bucket"])
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b")))
-    from .parallel import widen_partitions
-    if mode == "arrow":
-        # throughput path: no pre-confirm distinct — at bench scale the
-        # table overlap is ~2%, so deduping candidates cost a full
-        # exchange plus two hash aggregates over the 7M-pair relation
-        # (its partial aggregate running on the SKEWED bucket-join
-        # output) to avoid 2% of re-confirms. A pair-keyed hash
-        # repartition of the narrow id pairs spreads the hot buckets
-        # with a pure exchange instead (measured 8.1 s vs 10.3 s for
-        # distinct-then-confirm, A/B'd in one session), vectors attach
-        # to the even partitions, and the terminal distinct keeps the
-        # exact set semantics (it must exist anyway for duplicate
-        # input ids). The width is PINNED (explicit N): the confirm's
-        # cost is per-row Python, and AQE's byte-based coalescing
-        # would shrink the ~16-byte-per-row relation to a couple of
-        # tasks (the round-5 stanza-stage lesson). Vectors cross Arrow
-        # as raw float32 (exact cast to float64 in numpy) and only
-        # surviving ids come back.
-        sc = embeddings.sparkSession.sparkContext
-        cand = cand.repartition(sc.defaultParallelism, "vec_a", "vec_b")
-        vecs = with_norm(widen_partitions(
-            embeddings.select("vec_id", vec_col), min_bytes=0), vec_col) \
-            .select("vec_id", F.col(vec_col).alias("_raw"), "_norm")
-        va = vecs.select(F.col("vec_id").alias("vec_a"),
-                         F.col("_raw").alias("_va"),
-                         F.col("_norm").alias("_na"))
-        vb = vecs.select(F.col("vec_id").alias("vec_b"),
-                         F.col("_raw").alias("_vb"),
-                         F.col("_norm").alias("_nb"))
-        pairs = (cand.join(va, "vec_a").join(vb, "vec_b")
-                 .select("vec_a", "vec_b", "_va", "_vb", "_na", "_nb"))
-        return _confirm_pairs_arrow(pairs, threshold).distinct()
-    # oracle path: candidates deduped BEFORE the exact confirm (the
-    # interpreted fold is expensive per pair), vectors joined back per
-    # unique pair as double arrays, sim in pure Catalyst expressions
-    cand = cand.distinct()
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
     vecs = with_norm(widen_partitions(
         embeddings.select("vec_id", vec_col), min_bytes=0), vec_col) \
         .select("vec_id", "_v", "_norm")
