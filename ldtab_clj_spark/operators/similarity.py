@@ -159,7 +159,8 @@ def _srp_bands_with_vecs_arrow(embeddings: DataFrame, plane_tables,
                "_raw array<float>, _norm double")
 
 
-def _confirm_bucket_stream(threshold: float):
+def _confirm_bucket_stream(threshold: float,
+                           chunk: int = 262_144):
     """Streaming per-(tbl, bucket) exact-cosine confirm for
     mapInPandas over a bucket-partitioned, bucket-sorted relation:
     grouped_batches re-chunks the Arrow stream into frames of complete
@@ -178,7 +179,7 @@ def _confirm_bucket_stream(threshold: float):
     import pandas as pd
 
     from .batching import grouped_batches
-    CHUNK = 262_144
+    CHUNK = chunk
 
     def confirm_run(ids, V, nrm, out_a, out_b):
         B = len(ids)

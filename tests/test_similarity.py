@@ -199,3 +199,59 @@ def test_ivf_trained_centroids_recall_and_determinism(spark):
     rows1 = {r.cent_id: (r._c, round(r._cnorm, 9)) for r in c1.collect()}
     rows2 = {r.cent_id: (r._c, round(r._cnorm, 9)) for r in c2.collect()}
     assert rows1 == rows2
+
+
+def test_srp_bucket_confirm_chunked_matches_bruteforce(spark):
+    """The bucket-stream confirm's chunked pair generation (engaged
+    only for buckets larger than CHUNK/B rows — i.e. at bench scale,
+    where no oracle runs) must emit exactly the brute-force pair set,
+    and tiny chunks must agree with one-shot chunks."""
+    import numpy as np
+
+    from ldtab_clj_spark.operators.similarity import (
+        _confirm_bucket_stream, srp_banded_near_dup, srp_plane_tables)
+
+    rng = np.random.default_rng(11)
+    n, dim = 600, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    tables = srp_plane_tables(n_tables=2, k_planes=1, dim=dim)
+    thr = 0.3
+
+    got = {(r.vec_a, r.vec_b) for r in srp_banded_near_dup(
+        emb, tables, threshold=thr, mode="arrow").collect()}
+
+    # brute force over the same bucketing (k=1 → 2 buckets per table)
+    V = vecs.astype(np.float64)
+    nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+    want = set()
+    for planes in tables:
+        P = np.array(planes, dtype=np.float64)
+        buckets = ((V @ P.T) >= 0).astype(int)[:, 0]
+        for b in (0, 1):
+            idx = np.flatnonzero(buckets == b)
+            for x in range(len(idx)):
+                for y in range(x + 1, len(idx)):
+                    i, j = int(idx[x]), int(idx[y])
+                    sim = float(V[i] @ V[j] / (nrm[i] * nrm[j]))
+                    if sim >= thr:
+                        want.add((min(i, j), max(i, j)))
+    assert got == want and got
+
+    # tiny chunk (forces many slabs per bucket) == huge chunk
+    from pyspark.sql import functions as F
+
+    from ldtab_clj_spark.operators.similarity import \
+        _srp_bands_with_vecs_arrow
+    bands_v = _srp_bands_with_vecs_arrow(emb, tables, "embedding")
+    part = (bands_v
+            .withColumn("_grp", F.concat_ws(":", "tbl", "bucket"))
+            .repartition(4, "tbl", "bucket")
+            .sortWithinPartitions("_grp")
+            .select("_grp", "vec_id", "_raw", "_norm"))
+    small = {(r.vec_a, r.vec_b) for r in part.mapInPandas(
+        _confirm_bucket_stream(thr, chunk=37),
+        "vec_a long, vec_b long").distinct().collect()}
+    assert small == got
