@@ -270,7 +270,8 @@ def srp_banded_near_dup(embeddings: DataFrame,
         # float32 vector + JVM-fold-order norm ride the ONE
         # (tbl, bucket) shuffle (L copies per vector — linear), and
         # each bucket confirms ALL its pairs inside one vectorized
-        # applyInPandas group: same einsum/divide bit sequence, only
+        # run of the grouped mapInPandas stream: same einsum/divide
+        # bit sequence, only
         # surviving id pairs ever materialize as rows. The terminal
         # distinct collapses multi-table hits (and duplicate input
         # ids) exactly as before.
