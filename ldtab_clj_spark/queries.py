@@ -248,20 +248,33 @@ def tpch_q3(spark, sf):
 
 
 def tpch_q5(spark, sf):
+    """Region predicate pushed to BOTH dims up front (guide §3.2):
+    only ASIA nations (5 of 25) can survive the final region join, so
+    supplier and customer are pre-filtered to those nationkeys before
+    any fact join — inner joins commute, result identical (DuckDB-
+    verified). The ~80% dead lineitem rows then drop at the broadcast
+    supplier join BEFORE the l_orderkey/o_orderkey shuffle instead of
+    after it."""
     r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf, "nation")
-    c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
+    asia_n = (n.join(F.broadcast(r),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name"))
+    s = (load(spark, sf, "supplier")
+         .join(F.broadcast(asia_n),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_nationkey", "n_name"))
+    c = (load(spark, sf, "customer")
+         .join(F.broadcast(asia_n.select("n_nationkey")),
+               F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+         .select("c_custkey", "c_nationkey"))
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf, "lineitem")
-    s = load(spark, sf, "supplier")
-    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(c, F.col("o_custkey") == F.col("c_custkey"))
-            .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+    return (li.join(F.broadcast(s),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, (F.col("o_custkey") == F.col("c_custkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
-            .join(F.broadcast(n),
-                  F.col("s_nationkey") == F.col("n_nationkey"))
-            .join(F.broadcast(r),
-                  F.col("n_regionkey") == F.col("r_regionkey"))
             .groupBy("n_name")
             .agg(_revenue_sum()))
 
@@ -513,17 +526,28 @@ def tpch_q2(spark, sf):
     # per-part min join: Catalyst's decorrelation planned TWO full
     # lineitem aggregations (outer cost + subquery re-aggregation);
     # deriving `best` FROM cost makes the second a cheap rollup of the
-    # first, and identical subplans share one exchange. The oracle
-    # keeps the correlated form; DuckDB-verified row-identical at
-    # sf0.1 (ties keep ALL matching suppliers either way, and the
-    # ORDER BY ends in the unique (p_partkey, s_suppkey) pair so the
-    # LIMIT cut is deterministic).
+    # first, and identical subplans share one exchange. The part
+    # predicate (p_type/p_size — 2.7% of parts survive) is applied to
+    # lineitem BEFORE the cost aggregation via a broadcast join on the
+    # filtered partkeys: per-partkey min commutes with a partkey
+    # filter, so cost/best over the surviving partkeys are identical
+    # to cost/best over all partkeys joined to the filtered part dim —
+    # but the aggregation input shrinks ~37x (guide §3.2 "reduce the
+    # big side before shuffling it"). The oracle keeps the correlated
+    # unfiltered form; DuckDB-verified row-identical at sf0.1 (ties
+    # keep ALL matching suppliers either way, and the ORDER BY ends in
+    # the unique (p_partkey, s_suppkey) pair so the LIMIT cut is
+    # deterministic).
     return spark.sql("""
-        WITH cost AS (
+        WITH fp AS (
+          SELECT p_partkey, p_name
+          FROM q2_part WHERE p_type = 'SMALL' AND p_size < 10),
+        cost AS (
           SELECT l_partkey AS partkey, l_suppkey AS suppkey,
                  min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
                    AS cost_cents
-          FROM q2_lineitem GROUP BY l_partkey, l_suppkey),
+          FROM q2_lineitem JOIN fp ON l_partkey = p_partkey
+          GROUP BY l_partkey, l_suppkey),
         best AS (
           SELECT partkey, min(cost_cents) AS best_cents
           FROM cost GROUP BY partkey)
@@ -538,13 +562,12 @@ def tpch_q2(spark, sf):
                -- 100.0 would parse as DECIMAL in Spark SQL (decimal
                -- division -> pandas object dtype); force double
                c.cost_cents / CAST(100 AS DOUBLE) AS supply_cost
-        FROM q2_part p
+        FROM fp p
         JOIN cost c ON p.p_partkey = c.partkey
         JOIN best b ON c.partkey = b.partkey
                    AND c.cost_cents = b.best_cents
         JOIN q2_supplier s ON c.suppkey = s.s_suppkey
         JOIN q2_nation n ON s.s_nationkey = n.n_nationkey
-        WHERE p.p_type = 'SMALL' AND p.p_size < 10
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
         LIMIT 100""")
 
