@@ -671,11 +671,16 @@ def tpch_q21(spark, sf):
     # order, EXISTS(other-supplier line) ⟺ the order has ≥2 distinct
     # suppliers ⟺ min(supp) <> max(supp), and NOT EXISTS(
     # other-supplier 'R' line) ⟺ every 'R' line shares one supplier ⟺
-    # min(R-supp) = max(R-supp). min/max are map-side combinable (no
-    # count-distinct Expand), so lineitem is scanned twice and
-    # shuffled once as 4-column aggregates instead of three times as
-    # rows. The oracle keeps the EXISTS form; DuckDB-verified
-    # row-identical at sf0.1.
+    # min(R-supp) = max(R-supp). And because in a qualifying order
+    # EVERY 'R' line's suppkey equals that shared min(R-supp), the
+    # per-supplier row count folds into the SAME aggregate
+    # (count of 'R' lines, attributed to mnr): lineitem is scanned
+    # ONCE and the only fact join left is po⋈orders on per-order
+    # aggregates — no 'R'-line fact rows ride any join (guide §2.3
+    # "aggregate before you shuffle"). sum(count) ≡ count(*) per
+    # group since the 'R' lines of a qualifying order all carry the
+    # same s_name; BIGINT either way in both engines. The oracle
+    # keeps the EXISTS form; DuckDB-verified row-identical at sf0.1.
     return spark.sql("""
         WITH po AS (
           SELECT l_orderkey AS po_orderkey,
@@ -683,15 +688,15 @@ def tpch_q21(spark, sf):
                  min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
                    AS mnr,
                  max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
-                   AS mxr
+                   AS mxr,
+                 count(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                   AS cntr
           FROM q21_lineitem GROUP BY l_orderkey)
-        SELECT s_name, count(*) AS numwait
-        FROM q21_lineitem l1
-        JOIN q21_supplier ON l1.l_suppkey = s_suppkey
-        JOIN q21_orders ON l1.l_orderkey = o_orderkey
-        JOIN po ON l1.l_orderkey = po_orderkey
-        WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
-          AND mn <> mx AND mnr = mxr
+        SELECT s_name, sum(cntr) AS numwait
+        FROM po
+        JOIN q21_orders ON po_orderkey = o_orderkey
+        JOIN q21_supplier ON mnr = s_suppkey
+        WHERE o_orderstatus = 'F' AND mn <> mx AND mnr = mxr
         GROUP BY s_name
         ORDER BY numwait DESC, s_name""")
 
