@@ -82,6 +82,16 @@ def get_spark(app_name: str = "ldtab_clj_spark",
         .config("spark.io.compression.codec", "zstd")
         # sane scan granularity for the 100 TB case: 128 MB splits
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # allow shuffled hash joins where their size conditions hold
+        # (guide §3.1/§9): sort-merge pays two sorts that a per-
+        # partition hash build avoids, and AQE's skew splitting works
+        # on both join kinds. Measured on the r06 10x probe AND sf0.1,
+        # interleaved best-of-3x2 per query: equal or faster on every
+        # shuffle-join query (q18 1.60->1.54 / 0.59->0.53, minhash
+        # 2.71->2.51, term_stats 1.18->1.13, diff 0.90->0.85; rest
+        # within noise), no regressions at either scale.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_PREFER_SMJ", "false"))
         # 16 MB auto-broadcast cap (was 64 MB): a parquet-size estimate
         # near 64 MB is a multi-million-row relation whose broadcast
         # build is serial driver+executor work and whose hash relation
